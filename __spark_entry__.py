@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl-frontier pop over sf0.001 (URL
+canonicalization UDF → xxhash64 dedup → robots gating → per-host
+politeness top-k → lineage summary).  ``queries``/``oracle_sql`` expose
+the SURVEY.md §2 operator inventory + training-data ops as
+(Spark plan, DuckDB SQL) pairs — see
+dart_xbrl_crawler_spark/plans/catalog.py and catalog_text.py.
 """
 
 from __future__ import annotations
@@ -12,27 +13,61 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: politeness-scheduled frontier pop over urls derived
+    from sf0.001 orders, with a skewed host distribution."""
+    from dart_xbrl_crawler_spark.functions.urls import with_url_canon
+    from dart_xbrl_crawler_spark.operators import politeness as P
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    # derive a skewed frontier: ~60% of urls on one giant host, messy
+    # spellings exercising the canonicalizer
+    host = F.when(F.col("o_orderkey") % 10 < 6, F.lit("GIANT.example")).otherwise(
+        F.concat(F.lit("host"), (F.col("o_custkey") % 25).cast("string"), F.lit(".example"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, "#fragment").otherwise(""),
+    )
+    frontier = (
+        with_url_canon(orders.select(url.alias("url"), "o_orderdate"))
+        .dropDuplicates(["url_hash"])
+        .withColumn("priority", F.lit(0.0))
+        .withColumnRenamed("o_orderdate", "discovered_ts")
+    )
+
+    robots = spark.createDataFrame(
+        [("giant.example", None, 100)]
+        + [(f"host{k}.example", "/admin" if k % 5 == 0 else None, 500) for k in range(25)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    popped = P.pop_round(frontier, robots, round_ms=60_000, salt_buckets=16)
+    return (
+        popped.groupBy("host")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.col("selected").cast("int")).alias("n_selected"),
+            F.sum(F.col("robots_blocked").cast("int")).alias("n_robots_blocked"),
+        )
+        .orderBy("host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dart_xbrl_crawler_spark.plans import catalog, catalog_text  # noqa: F401
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(catalog.Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dart_xbrl_crawler_spark.plans import catalog, catalog_text  # noqa: F401
+
+    return dict(catalog.ORACLE)

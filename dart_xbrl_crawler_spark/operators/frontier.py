@@ -1,0 +1,181 @@
+"""The crawl frontier: state machine + round driver + lineage.
+
+Replaces the reference's /tmp sidecars + directory rescans
+(/root/reference/xbrl_batch_processor.py:86-166,
+dart_api_manager.py:543-578) with a snapshot-checkpointed table:
+every round commits one new immutable snapshot; a killed round leaves
+the previous snapshot authoritative, so resume is simply "read latest
+snapshot and go" (idempotent — tested by kill-and-resume).
+
+States: queued → fetched | failed | robots_blocked;
+new URLs entering the frontier that are already seen → deduped (they
+are counted, not inserted twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import with_url_canon
+from ..sources.checkpoint import SnapshotTable
+from . import dedup as D
+from . import politeness as P
+
+
+class FrontierStore:
+    def __init__(self, path: str, n_bloom_shards: int = 64):
+        self.table = SnapshotTable(path)
+        self.metrics = SnapshotTable(path + "_metrics")
+        self.n_bloom_shards = n_bloom_shards
+
+    # -- bootstrap -----------------------------------------------------
+    def bootstrap(self, urls: DataFrame, run_ts: str) -> str:
+        """urls(url, priority [, seed_rcp_no]) → initial queued frontier.
+        Canonicalize once, dedup within the batch (first-wins on the
+        canonical hash — deterministic via priority desc, url asc)."""
+        canon = with_url_canon(urls)
+        if "seed_rcp_no" not in canon.columns:
+            canon = canon.withColumn("seed_rcp_no", F.lit(None).cast("string"))
+        ranked = canon.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url_hash").orderBy(
+                    F.col("priority").desc(), F.col("url").asc()
+                )
+            ),
+        )
+        frontier = (
+            ranked.filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("depth", F.lit(0))
+            .withColumn("state", F.lit("queued"))
+            .withColumn("discovered_ts", F.to_timestamp(F.lit(run_ts)))
+            .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
+            .withColumn("partition_salt", F.lit(0))
+        )
+        return self.table.commit(frontier, note="bootstrap")
+
+    # -- insert newly-discovered urls (dedup vs whole frontier) ---------
+    def insert(
+        self, spark: SparkSession, urls: DataFrame, run_ts: str, depth: int = 1
+    ) -> tuple[str, int, int]:
+        """Dedup incoming urls against the frontier (bloom prefilter +
+        exact anti-join), append survivors as queued.  Returns
+        (snapshot_id, n_inserted, n_deduped)."""
+        frontier = self.table.read(spark)
+        canon = with_url_canon(urls).dropDuplicates(["url_hash"])
+        if "seed_rcp_no" not in canon.columns:
+            canon = canon.withColumn("seed_rcp_no", F.lit(None).cast("string"))
+        if "priority" not in canon.columns:
+            canon = canon.withColumn("priority", F.lit(0.0))
+        bloom = D.build_seen_filter(
+            frontier.select("url_hash"), n_shards=self.n_bloom_shards
+        )
+        fresh = D.dedup_urls(canon, frontier, bloom, self.n_bloom_shards)
+        fresh = (
+            fresh.withColumn("depth", F.lit(depth))
+            .withColumn("state", F.lit("queued"))
+            .withColumn("discovered_ts", F.to_timestamp(F.lit(run_ts)))
+            .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
+            .withColumn("partition_salt", F.lit(0))
+            .select(*frontier.columns)
+        )
+        n_in = canon.count()
+        n_fresh = fresh.count()
+        snap = self.table.commit(
+            frontier.unionByName(fresh), note=f"insert depth={depth}"
+        )
+        return snap, n_fresh, n_in - n_fresh
+
+    # -- one crawl round -------------------------------------------------
+    def run_round(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        run_ts: str,
+        round_id: int = 0,
+        round_ms: int = 60_000,
+        salt_buckets: int = 32,
+        max_per_host: int | None = None,
+        n_partitions: int = 32,
+    ) -> tuple[str, DataFrame]:
+        """Pop a politeness-bounded batch, 'fetch' it (bytes come from
+        the pages table — the sandbox stand-in for HTTP), transition
+        states, commit one snapshot.  Returns (snapshot_id, fetched
+        pages DataFrame ready for the extract stage)."""
+        frontier = self.table.read(spark)
+        queued = frontier.filter(F.col("state") == "queued")
+        rest = frontier.filter(F.col("state") != "queued")
+
+        popped = P.pop_round(
+            queued,
+            robots,
+            round_ms=round_ms,
+            salt_buckets=salt_buckets,
+            max_per_host=max_per_host,
+        )
+
+        selected = popped.filter(F.col("selected"))
+        fetch_in = P.fetch_partitioning(selected, n_partitions)
+
+        # fetch = equi-join bytes by canonical url (pages keyed the same
+        # way once, at ingest)
+        page_bytes = (
+            with_url_canon(pages)
+            .select("url_hash", "html", "warc_ts")
+            .dropDuplicates(["url_hash"])
+        )
+        fetched = fetch_in.join(page_bytes, "url_hash", "left")
+
+        ok = fetched.filter(F.col("html").isNotNull())
+        missing = fetched.filter(F.col("html").isNull())
+
+        # state transitions, append-only MERGE emulation
+        trans = (
+            ok.select("url_hash", F.lit("fetched").alias("new_state"))
+            .unionByName(
+                missing.select("url_hash", F.lit("failed").alias("new_state"))
+            )
+            .unionByName(
+                popped.filter(F.col("robots_blocked")).select(
+                    "url_hash", F.lit("robots_blocked").alias("new_state")
+                )
+            )
+        )
+        new_frontier = (
+            frontier.join(trans, "url_hash", "left")
+            .withColumn("state", F.coalesce("new_state", "state"))
+            .withColumn(
+                "fetch_ts",
+                F.when(
+                    F.col("new_state") == "fetched", F.to_timestamp(F.lit(run_ts))
+                ).otherwise(F.col("fetch_ts")),
+            )
+            .drop("new_state")
+        )
+
+        # per-partition lineage counters (north_rule) — cheap, observable
+        metrics = (
+            new_frontier.groupBy(
+                F.lit(round_id).alias("round_id"),
+                F.spark_partition_id().alias("partition_id"),
+                "state",
+            )
+            .count()
+            .withColumnRenamed("count", "n")
+        )
+        self.metrics.commit(metrics, note=f"round={round_id}")
+        snap = self.table.commit(new_frontier, note=f"round={round_id}")
+
+        fetched_pages = ok.select(
+            "url", "url_canon", "url_hash", "host", "seed_rcp_no", "html", "warc_ts"
+        )
+        return snap, fetched_pages
+
+    def state_counts(self, spark: SparkSession) -> dict[str, int]:
+        rows = (
+            self.table.read(spark).groupBy("state").count().collect()
+        )
+        return {r["state"]: r["count"] for r in rows}

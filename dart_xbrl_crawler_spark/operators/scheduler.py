@@ -1,0 +1,76 @@
+"""Crawl-ordering reproduction: the reference's sequential visit order
+as a deterministic Spark plan.
+
+The reference loops corps in list order, pulls each corp's disclosure
+list sorted ``date desc`` (page 1, ≤100 rows), and takes the first 5
+(/root/reference/dart_api_manager.py:491-540,241-243,513).  That whole
+control flow collapses into: filter periodic → per-corp top-k window →
+global sort key (corp first-appearance rank, date desc, rcept_no desc).
+
+The visit sequence must equal oracle.sequential_schedule on the same
+seed list — that is the north_rule crawl-ordering test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def periodic_pred():
+    """Periodic-report frontier filter (dart_api_manager.py:298-326):
+    name carries a periodic kind AND a '(YYYY.MM)' tag.  Lazy — Column
+    construction needs an active session."""
+    return F.col("report_nm").rlike("(반기보고서|분기보고서|사업보고서)") & F.col(
+        "report_nm"
+    ).rlike(r"\((\d{4})\.(\d{2})\)")
+
+
+def reference_schedule(
+    seeds: DataFrame, per_corp_cap: int = 5, page_size: int = 100
+) -> DataFrame:
+    """seeds → (rcept_no, corp_code, rcept_dt, visit_rank), in the
+    reference's exact visit order (corp-major, date-desc, capped)."""
+    periodic = seeds.filter(periodic_pred())
+
+    # corps visit in first-appearance order of the seed list
+    corp_rank = periodic.groupBy("corp_code").agg(
+        F.min("seed_rank").alias("corp_rank")
+    )
+
+    w = Window.partitionBy("corp_code").orderBy(
+        F.col("rcept_dt").desc(), F.col("rcept_no").desc()
+    )
+    capped = (
+        periodic.withColumn("disc_rank", F.row_number().over(w))
+        .filter(F.col("disc_rank") <= min(per_corp_cap, page_size))
+    )
+
+    ordered = capped.join(F.broadcast(corp_rank), "corp_code")
+    wg = Window.orderBy(
+        F.col("corp_rank").asc(),
+        F.col("rcept_dt").desc(),
+        F.col("rcept_no").desc(),
+    )
+    return ordered.withColumn("visit_rank", F.row_number().over(wg)).select(
+        "rcept_no", "corp_code", "report_nm", "rcept_dt", "visit_rank"
+    )
+
+
+def seeds_to_frontier(
+    seeds: DataFrame,
+    run_ts_col=None,
+    per_corp_cap: int = 5,
+) -> DataFrame:
+    """Expand the seed list into frontier rows: DART fetch URLs with
+    priority = -visit_rank (higher priority pops first), so the
+    politeness window reproduces the reference order within each host."""
+    sched = reference_schedule(seeds, per_corp_cap=per_corp_cap)
+    urls = sched.select(
+        F.concat(
+            F.lit("https://dart.fss.or.kr/api/fnlttXbrl.xml?rcept_no="),
+            F.col("rcept_no"),
+        ).alias("url"),
+        F.col("rcept_no").alias("seed_rcp_no"),
+        (-F.col("visit_rank")).cast("double").alias("priority"),
+    )
+    return urls

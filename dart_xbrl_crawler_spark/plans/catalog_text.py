@@ -1,0 +1,471 @@
+"""Training-data pipeline operators over documents/embeddings:
+dedup (exact, fingerprint, shingles, MinHash-LSH, SimHash), text
+analysis (lang-id, quality, tokens), similarity search (brute-force
+cosine top-k, LSH ANN, near-dup pairs).
+
+Same conventions as catalog.py.  MinHash/SimHash/ANN-LSH are genuinely
+non-SQL-expressible in DuckDB-portable form (xxhash64-based) → no
+oracle entry; the driver records rows-only checks and pytest covers
+their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import ORACLE, Q, _dsum, _t, query
+
+
+# =====================================================================
+# exact dedup — hash-groupBy (canonical doc = min doc_id)
+# =====================================================================
+@query(
+    "q24_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q24(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# =====================================================================
+# language-ID — deterministic stopword-vote heuristic
+# =====================================================================
+@query(
+    "q25_lang_id",
+    """
+    SELECT lang,
+           CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en'
+                WHEN (' ' || text || ' ') LIKE '% der %'
+                  OR (' ' || text || ' ') LIKE '% und %' THEN 'de'
+                WHEN (' ' || text || ' ') LIKE '% le %'
+                  OR (' ' || text || ' ') LIKE '% la %' THEN 'fr'
+                ELSE 'unk' END AS lang_guess,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang, lang_guess
+    """,
+)
+def q25(spark, sf):
+    d = _t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(padded.like("% the %"), "en")
+        .when(padded.like("% der %") | padded.like("% und %"), "de")
+        .when(padded.like("% le %") | padded.like("% la %"), "fr")
+        .otherwise("unk")
+    )
+    return (
+        d.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# quality scoring — length/token/stopword ratios (all built-in fns)
+# =====================================================================
+@query(
+    "q26_quality_score",
+    """
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 4) AS len_score
+    FROM (
+      SELECT doc_id, n_chars,
+             len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_filter(str_split(text, ' '),
+                             x -> x IN ('a', 'the'))) AS n_stop
+      FROM documents)
+    WHERE n_tokens > 0
+    """,
+)
+def q26(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.filter(F.split("text", " "), lambda x: x.isin("a", "the"))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(stop).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
+            "stop_ratio"
+        ),
+        F.round(
+            F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0)), 4
+        ).alias("len_score"),
+    )
+
+
+# =====================================================================
+# token counting — whitespace + per-lang totals
+# =====================================================================
+@query(
+    "q27_token_count",
+    """
+    SELECT lang,
+           SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q27(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return d.groupBy("lang").agg(
+        F.sum(n_tok).alias("total_tokens"), F.count("*").alias("n_docs")
+    )
+
+
+# =====================================================================
+# document fingerprinting — normalized-text hash
+# =====================================================================
+@query(
+    "q28_fingerprint",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_distinct_fp
+    FROM documents GROUP BY source
+    """,
+)
+def q28(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct_fp"),
+    )
+
+
+# =====================================================================
+# n-gram shingling — distinct character-3-gram counts (Jaccard basis)
+# =====================================================================
+@query(
+    "q29_shingle_counts",
+    """
+    SELECT doc_id, COUNT(DISTINCT substr(text, i, 3)) AS n_shingles
+    FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 2, 0) + 1)) AS t(i)
+    WHERE doc_id % 10 = 0
+    GROUP BY doc_id
+    """,
+)
+def q29(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, F.lit(3)),
+        )
+    )
+    return d.select("doc_id", F.size(shingles).alias("n_shingles"))
+
+
+# =====================================================================
+# embedding near-dup pairs — exact cosine over a deterministic subset
+# =====================================================================
+@query(
+    "q34_embedding_neardup",
+    """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+      AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.2
+    """,
+)
+def q34(spark, sf):
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(b, (a.label == b.b_label) & (a.a_id < b.b_id))
+    sim = F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 4)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.2)
+    )
+
+
+def _cosine(a, b):
+    """Cosine similarity of two array<float> columns, computed JVM-side
+    via higher-order functions (no UDF): dot / (|a| * |b|)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return dot / (na * nb)
+
+
+# =====================================================================
+# brute-force cosine top-k vs a fixed query vector
+# =====================================================================
+@query(
+    "q32_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, label, sim FROM (
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qv FROM q)), 4) AS sim,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                     (SELECT qv FROM q)), 4) DESC,
+                        vec_id ASC) AS rk
+      FROM embeddings
+      WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings))
+    WHERE rk <= 10
+    """,
+)
+def q32(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    scored = e.filter(F.col("vec_id") != qrow["vec_id"]).select(
+        "vec_id",
+        "label",
+        F.round(_cosine(F.col("embedding"), qv), 4).alias("sim"),
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", "label", "sim")
+    )
+
+
+# =====================================================================
+# MinHash-LSH near-dup candidates (rows-only: xxhash64-based, not
+# portable to DuckDB). Word-5-gram shingles → 32 minhashes → 8 bands
+# of 4 → band-bucket self-join → candidate pairs w/ estimated Jaccard.
+# =====================================================================
+N_MINHASH = 32
+N_BANDS = 8
+
+
+def _minhash_signature(doc_id_col: str = "doc_id"):
+    shingle = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(
+                F.size(F.filter(F.split("text", " "), lambda x: x != "")) - 4,
+                F.lit(1),
+            ),
+        ),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda x: x != ""), i, 5),
+        ),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.array_distinct(shingle),
+                    lambda s: F.xxhash64(s, F.lit(i)),
+                )
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    return sig
+
+
+@query("q30_minhash_lsh", None)
+def q30(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    sigs = d.select("doc_id", _minhash_signature().alias("sig"))
+    per_band = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * per_band + j].cast("string")
+                                    for j in range(per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+        "sig",
+    ).select("doc_id", "bb.band", "bb.bucket", "sig")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band", "bucket", F.col("sig").alias("a_sig")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), "band", "bucket", F.col("sig").alias("b_sig")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+                lambda z: z,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+
+
+# =====================================================================
+# SimHash (rows-only): 64-bit signature from token hashes, hamming
+# distance between consecutive docs as a smoke surface
+# =====================================================================
+@query("q31_simhash", None)
+def q31(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit i of simhash = majority vote of token-hash bit i
+    bits = [
+        F.when(
+            F.size(F.filter(th, lambda h: h.bitwiseAND(F.lit(int(2**i))) != 0)) * 2
+            > F.size(th),
+            F.lit(int(2**i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(16)  # 16 bits keeps the plan compact
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return d.select("doc_id", sim.alias("simhash16"))
+
+
+# =====================================================================
+# ANN via LSH bucketing (rows-only): random-hyperplane sign bits →
+# bucket join vs the brute-force scan path
+# =====================================================================
+@query("q33_ann_lsh", None)
+def q33(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    # deterministic pseudo-random hyperplanes from the dimension index
+    import math
+
+    planes = [
+        [math.sin(0.7 * p + 0.13 * i) for i in range(len(qv))] for p in range(8)
+    ]
+
+    def sign_bits(col):
+        bits = []
+        for p, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.transform(col, lambda x: x.cast("double")),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    q_bucket = None
+    acc = 0
+    for p, plane in enumerate(planes):
+        s = sum(x * w for x, w in zip(qv, plane))
+        acc += 2**p if s >= 0 else 0
+    q_bucket = acc
+
+    bucketed = e.withColumn("bucket", sign_bits(F.col("embedding")))
+    cand = bucketed.filter(
+        (F.col("bucket") == q_bucket) & (F.col("vec_id") != qrow["vec_id"])
+    )
+    qv_col = F.array(*[F.lit(x) for x in qv])
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), qv_col), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", "label", "sim")
+    )
+
+
+# =====================================================================
+# sessionization — lag + gap cumsum (common streaming-ish pattern)
+# =====================================================================
+@query(
+    "q35_sessionize",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+    FROM (
+      SELECT user_id,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events WHERE user_id % 100 = 0)
+    GROUP BY user_id
+    """,
+)
+def q35(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                1 + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))
+            ).alias("n_sessions"),
+        )
+    )
+
+
+__all__ = ["Q", "ORACLE"]
