@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads:
+  * headline catalog queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
+    materialized via the noop sink (all columns computed, nothing kept);
+  * crawl pipeline: synth skewed frontier → canonicalize → bloom dedup →
+    politeness pop (frontier_pops/s) → extract kernel (pages/s);
+  * scaling evidence (north_rule): the same extract + frontier-pop jobs
+    at local[8] vs local[32] in fresh subprocesses on the SAME input →
+    throughput at both + efficiency = (T8/T32)/(32/8).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (default 120000), SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_dim_join_revenue",
+    "q05_top5_per_customer",
+    "q18_distinct_counts",
+    "q21_host_budget_topk",
+    "q24_dedup_exact",
+    "q28_fingerprint",
+    "q30_minhash_lsh",
+    "q32_cosine_topk",
+]
+
+
+def _noop_materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _scaling_subprocess(cores: int, pages_path: str) -> dict:
+    """Run frontier-pop + extract jobs in a fresh JVM at `cores`."""
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {REPO!r})
+from dart_xbrl_crawler_spark.session import get_spark
+from dart_xbrl_crawler_spark.plans import bench_support as B
+spark = get_spark("scale{cores}", cores={cores}, shuffle_partitions={cores})
+t_pop, n_pop = B.timed(B.frontier_pop_job, spark, {pages_path!r})
+t_ext, n_ext = B.timed(B.extract_job, spark, {pages_path!r})
+print("RESULT " + json.dumps(dict(cores={cores}, t_pop=t_pop, n_pop=n_pop,
+                                  t_ext=t_ext, n_ext=n_ext)))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"scaling run at {cores} cores failed:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from dart_xbrl_crawler_spark.plans import bench_support as B
+    from dart_xbrl_crawler_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once so per-query timings are stable
+    _noop_materialize(qs["q01_pricing_summary"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # crawl pipeline over a synthesized skewed frontier ------------------
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        t0 = time.time()
+        B.synth_pages(spark, n_docs, n_parts=cpus * 4).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+        timings["crawl_synth"] = round(time.time() - t0, 3)
+
+    t_pop, n_pop = B.timed(B.frontier_pop_job, spark, pages_dir)
+    timings["crawl_frontier_pop"] = round(t_pop, 3)
+    t_ext, n_ext = B.timed(B.extract_job, spark, pages_dir)
+    timings["crawl_extract"] = round(t_ext, 3)
+    spark.stop()
+
+    throughput = {
+        "frontier_pops_per_s": round(n_pop / t_pop, 1),
+        "pages_per_s": round(n_ext / t_ext, 1),
+        "n_docs": n_docs,
+    }
+
+    # scaling evidence: N vs 4N parallelism on the same input ------------
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        lo = _scaling_subprocess(8, pages_dir)
+        hi = _scaling_subprocess(32, pages_dir)
+        t8 = lo["t_pop"] + lo["t_ext"]
+        t32 = hi["t_pop"] + hi["t_ext"]
+        throughput["scaling"] = {
+            "cores_lo": 8,
+            "cores_hi": 32,
+            "pages_per_s_8": round(lo["n_ext"] / lo["t_ext"], 1),
+            "pages_per_s_32": round(hi["n_ext"] / hi["t_ext"], 1),
+            "pops_per_s_8": round(lo["n_pop"] / lo["t_pop"], 1),
+            "pops_per_s_32": round(hi["n_pop"] / hi["t_pop"], 1),
+            "efficiency": round((t8 / t32) / 4.0, 3),
+        }
+        timings["scaling_8"] = round(t8, 3)
+        timings["scaling_32"] = round(t32, 3)
+
+    result = {
+        "metric": "headline queries + crawl pipeline (frontier pops, extract pages)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput": throughput,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

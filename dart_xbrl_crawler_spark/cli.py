@@ -1,0 +1,126 @@
+"""spark-submit entry point.
+
+Usage (local sandbox; on a cluster drop the master conf and zip the
+package for --py-files):
+
+    zip -r engine.zip dart_xbrl_crawler_spark
+    spark-submit --py-files engine.zip -m dart_xbrl_crawler_spark.cli <cmd> ...
+    # or: spark-submit cli.py <cmd> ... with the package on PYTHONPATH
+
+Subcommands (each one pure DataFrame job over the frontier store):
+
+  bootstrap --seeds <parquet> --store <dir>
+      seed list → initial queued frontier (canonicalize, dedup, commit)
+  expand --urls <parquet> --store <dir>
+      insert newly-discovered urls (bloom + exact dedup)
+  fetch --pages <parquet> --robots <parquet> --store <dir> [--round-ms N]
+      one politeness-bounded crawl round; prints lineage counts
+  extract --pages <parquet> --seeds <parquet> --corp-map <parquet> --out <dir>
+      extract kernel + corp join → partitioned facts sink
+  status --store <dir>
+      frontier state counts from the latest snapshot
+
+This replaces the reference's Lambda/argparse drivers
+(/root/reference/lambda_function.py:122-174,
+xbrl_batch_processor.py:629-680) — note the reference's --process-only /
+corp_codes paths are broken (SURVEY.md §0); here every stage is a
+first-class job with explicit inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from .operators.frontier import FrontierStore
+from .operators.scheduler import seeds_to_frontier
+from .plans import pipeline
+from .session import get_spark
+
+RUN_TS_DEFAULT = "2026-01-16 00:00:00"
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dart_xbrl_crawler_spark")
+    p.add_argument("--run-ts", default=RUN_TS_DEFAULT, help="injected run timestamp (determinism: never wall-clock)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--seeds", required=True)
+    b.add_argument("--store", required=True)
+
+    e = sub.add_parser("expand")
+    e.add_argument("--urls", required=True)
+    e.add_argument("--store", required=True)
+
+    f = sub.add_parser("fetch")
+    f.add_argument("--pages", required=True)
+    f.add_argument("--robots", required=True)
+    f.add_argument("--store", required=True)
+    f.add_argument("--round-ms", type=int, default=60_000)
+    f.add_argument("--round-id", type=int, default=0)
+
+    x = sub.add_parser("extract")
+    x.add_argument("--pages", required=True)
+    x.add_argument("--seeds", required=True)
+    x.add_argument("--corp-map", required=True)
+    x.add_argument("--out", required=True)
+
+    s = sub.add_parser("status")
+    s.add_argument("--store", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"cli-{args.cmd}")
+
+    if args.cmd == "bootstrap":
+        store = FrontierStore(args.store)
+        seeds = spark.read.parquet(args.seeds)
+        snap = store.bootstrap(seeds_to_frontier(seeds), args.run_ts)
+        print(json.dumps({"snapshot": snap, "states": store.state_counts(spark)}))
+    elif args.cmd == "expand":
+        store = FrontierStore(args.store)
+        urls = spark.read.parquet(args.urls)
+        snap, n_ins, n_dup = store.insert(spark, urls, args.run_ts)
+        print(json.dumps({"snapshot": snap, "inserted": n_ins, "deduped": n_dup}))
+    elif args.cmd == "fetch":
+        store = FrontierStore(args.store)
+        pages = spark.read.parquet(args.pages)
+        robots = spark.read.parquet(args.robots)
+        snap, fetched = store.run_round(
+            spark,
+            pages,
+            robots,
+            args.run_ts,
+            round_id=args.round_id,
+            round_ms=args.round_ms,
+        )
+        print(
+            json.dumps(
+                {
+                    "snapshot": snap,
+                    "fetched_pages": fetched.count(),
+                    "states": store.state_counts(spark),
+                }
+            )
+        )
+    elif args.cmd == "extract":
+        pages = spark.read.parquet(args.pages)
+        if "report_nm" not in pages.columns:
+            pages = pages.withColumn("report_nm", F.lit(None).cast("string"))
+        seeds = spark.read.parquet(args.seeds)
+        corp_map = spark.read.parquet(args.corp_map)
+        facts = pipeline.run_extract(pages, seeds, corp_map, args.run_ts)
+        pipeline.write_facts(facts.drop("url"), args.out)
+        print(json.dumps({"out": args.out}))
+    elif args.cmd == "status":
+        store = FrontierStore(args.store)
+        print(json.dumps(store.state_counts(spark)))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,7 +69,20 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
              with raw (unfiltered) values.
     """
     doc_rows = []
-    long_parts: list[pd.DataFrame] = []
+    # flat columnar accumulators — ONE DataFrame per batch, never per doc
+    c_doc: list[int] = []
+    c_rt: list[str] = []
+    c_ord: list[int] = []
+    c_id: list[str] = []
+    c_ko: list[str] = []
+    c_en: list[str] = []
+    c_c1: list[str] = []
+    c_c2: list[str] = []
+    c_c3: list[str] = []
+    c_per: list[str] = []
+    c_fs: list[str] = []
+    c_amt: list = []
+
     for i, (url, html, report_nm, rcept_dt) in enumerate(
         zip(pdf["url"], pdf["html"], pdf["report_nm"], pdf["rcept_dt"])
     ):
@@ -89,7 +102,6 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
                 if year:
                     parse_ok = True
                     corp_code = member_corp or ""
-                    recs = []
                     for report_type in ("BS", "CIS"):
                         stmt = (doc.get("statements") or {}).get(report_type)
                         if not stmt:
@@ -98,44 +110,21 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
                             stmt.get("concepts", []), start=1
                         ):
                             facts = concept.get("facts", [])
-                            if not facts:
+                            nf = len(facts)
+                            if not nf:
                                 continue
-                            recs.append(
-                                (
-                                    report_type,
-                                    order_no,
-                                    str(concept.get("concept_id", "")),
-                                    str(concept.get("label_ko", "")),
-                                    str(concept.get("label_en", "")),
-                                    str(concept.get("class1", "") or ""),
-                                    str(concept.get("class2", "") or ""),
-                                    str(concept.get("class3", "") or ""),
-                                    [str(f.get("period", "")) for f in facts],
-                                    [str(f.get("fs", "")) for f in facts],
-                                    [f.get("amount") for f in facts],
-                                )
-                            )
-                    if recs:
-                        cdf = pd.DataFrame(
-                            recs,
-                            columns=[
-                                "report_type",
-                                "order_no",
-                                "account_id",
-                                "account_name",
-                                "account_name_en",
-                                "class1",
-                                "class2",
-                                "class3",
-                                "period_raw",
-                                "fs",
-                                "amount",
-                            ],
-                        )
-                        # concept-level → fact-level, columnar explode
-                        cdf = cdf.explode(["period_raw", "fs", "amount"])
-                        cdf.insert(0, "doc_idx", i)
-                        long_parts.append(cdf)
+                            c_doc.extend([i] * nf)
+                            c_rt.extend([report_type] * nf)
+                            c_ord.extend([order_no] * nf)
+                            c_id.extend([str(concept.get("concept_id", ""))] * nf)
+                            c_ko.extend([str(concept.get("label_ko", ""))] * nf)
+                            c_en.extend([str(concept.get("label_en", ""))] * nf)
+                            c_c1.extend([str(concept.get("class1", "") or "")] * nf)
+                            c_c2.extend([str(concept.get("class2", "") or "")] * nf)
+                            c_c3.extend([str(concept.get("class3", "") or "")] * nf)
+                            c_per.extend(str(f.get("period", "")) for f in facts)
+                            c_fs.extend(str(f.get("fs", "")) for f in facts)
+                            c_amt.extend(f.get("amount") for f in facts)
         rd = str(rcept_dt) if rcept_dt is not None else ""
         receipt_ymd = (
             f"{rd[:4]}-{rd[4:6]}-{rd[6:8]}"
@@ -157,112 +146,212 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
             "corp_code",
         ],
     )
-    if long_parts:
-        long = pd.concat(long_parts, ignore_index=True)
-    else:
-        long = pd.DataFrame(columns=_EMPTY_LONG_COLS)
+    long = pd.DataFrame(
+        {
+            "doc_idx": c_doc,
+            "report_type": c_rt,
+            "order_no": c_ord,
+            "account_id": c_id,
+            "account_name": c_ko,
+            "account_name_en": c_en,
+            "class1": c_c1,
+            "class2": c_c2,
+            "class3": c_c3,
+            "period_raw": c_per,
+            "fs": c_fs,
+            "amount": c_amt,
+        }
+    )
     return docs, long
 
 
+_PERIOD_SHAPE = oracle._PERIOD_RE
+
+
 def _transform_long(long: pd.DataFrame, docs: pd.DataFrame, run_ts: str) -> pd.DataFrame:
-    """Batch-wide vectorized fact pipeline (spec: oracle.py).  Input is
-    the raw fact-level frame; output is final FACT_COLUMNS + doc_idx,
-    sorted deterministically within each document."""
+    """Batch-wide columnar fact pipeline (spec: oracle.py).
+
+    Implementation note: string steps use compiled-regex/dict list
+    comprehensions over numpy object arrays rather than chained pandas
+    ``.str`` ops — for object dtype those are Python loops anyway, and
+    each chained op materializes a full-batch temporary.  Under 32
+    parallel workers that allocation churn collapsed aggregate
+    throughput ~8× (measured); the single-temporary form scales.
+    Doc-level attrs join by plain fancy-indexing (doc_idx is the row
+    position in ``docs`` by construction — no merge needed).
+    """
+    empty = pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
     if long.empty:
-        return pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
+        return empty
 
-    df = long.merge(
-        docs[["doc_idx", "year", "mm", "receipt_ymd", "corp_code"]],
-        on="doc_idx",
-        how="left",
-    )
+    doc_idx = long["doc_idx"].to_numpy(dtype=np.int64)
+    raw = long["period_raw"].to_numpy(dtype=object)
+    amount = pd.to_numeric(long["amount"], errors="coerce").to_numpy(dtype=np.float64)
 
-    # predicates: period shape, numeric nonzero amount ------------------
-    shape_ok = df["period_raw"].str.match(r"^\d{8}(-\d{8})?$", na=False)
-    amount = pd.to_numeric(df["amount"], errors="coerce")
-    df = df.assign(amount=amount)[shape_ok & amount.notna() & (amount != 0.0)].copy()
-    if df.empty:
-        return pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
+    # doc-level attrs by position
+    d_year = docs["year"].to_numpy(dtype=object)
+    d_mm = docs["mm"].to_numpy(dtype=object)
 
-    # period format ------------------------------------------------------
-    raw = df["period_raw"]
-    s = raw.str.slice(0, 8)
-    start_iso = s.str.slice(0, 4) + "-" + s.str.slice(4, 6) + "-" + s.str.slice(6, 8)
-    e = raw.str.slice(9, 17)
-    end_iso = e.str.slice(0, 4) + "-" + e.str.slice(4, 6) + "-" + e.str.slice(6, 8)
-    is_range = raw.str.len() == 17
-    df["period"] = np.where(is_range, start_iso + " ~ " + end_iso, start_iso)
+    # predicates + period filter in ONE pass ---------------------------
+    match = _PERIOD_SHAPE.match
+    n = len(raw)
+    keep_idx = []
+    periods = []
+    append_i = keep_idx.append
+    append_p = periods.append
+    for i in range(n):
+        a = amount[i]
+        if a != a or a == 0.0:
+            continue
+        r = raw[i]
+        if not match(r):
+            continue
+        if len(r) == 17:
+            p = f"{r[:4]}-{r[4:6]}-{r[6:8]} ~ {r[9:13]}-{r[13:15]}-{r[15:17]}"
+            di = doc_idx[i]
+            needle = f"{d_year[di]}-{d_mm[di]}"
+            if p[:7] != needle and p[13:20] != needle:
+                continue
+        else:
+            p = f"{r[:4]}-{r[4:6]}-{r[6:8]}"
+            di = doc_idx[i]
+            if p[:7] != f"{d_year[di]}-{d_mm[di]}":
+                continue
+        append_i(i)
+        append_p(p)
+    if not keep_idx:
+        return empty
 
-    # period filter: needle 'YYYY-MM' at position 0 or 13 (equivalent to
-    # the reference's substring containment for these fixed shapes)
-    needle = df["year"] + "-" + df["mm"]
-    p = df["period"].astype(str)
-    keep = (p.str.slice(0, 7) == needle) | (p.str.slice(13, 20) == needle)
-    df = df[keep].copy()
-    if df.empty:
-        return pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
+    idx = np.array(keep_idx, dtype=np.int64)
+    doc_idx = doc_idx[idx]
+    amount = amount[idx]
+    period = periods  # python list, aligned with idx
+    order_no = long["order_no"].to_numpy(dtype=np.int64)[idx]
+    report_type = long["report_type"].to_numpy(dtype=object)[idx]
+    account_id = long["account_id"].to_numpy(dtype=object)[idx]
+    account_name = long["account_name"].to_numpy(dtype=object)[idx]
+    account_name_en = long["account_name_en"].to_numpy(dtype=object)[idx]
+    class1 = long["class1"].to_numpy(dtype=object)[idx]
+    class2 = long["class2"].to_numpy(dtype=object)[idx]
+    class3 = long["class3"].to_numpy(dtype=object)[idx]
+    fs = long["fs"].to_numpy(dtype=object)[idx]
+    m = len(idx)
 
-    # fs_type --------------------------------------------------------------
-    df["fs_type"] = np.where(df["fs"].str.contains("연결", na=False), "연결", "별도")
+    fs_type = ["연결" if "연결" in s else "별도" for s in fs]
 
     # -- hierarchy improve (BS only; order matters vs 총계-strip below) --
-    is_bs = df["report_type"] == "BS"
-    df["class1"] = np.where(
-        is_bs, df["class1"].map(oracle.OUTLINE_REWRITE).fillna(df["class1"]), df["class1"]
-    )
-    blank2 = is_bs & (df["class1"] == df["class2"]) & df["class1"].isin(oracle.TOTALS)
-    df.loc[blank2, "class2"] = ""
-    df.loc[is_bs & (df["account_name"] == "자산총계"), "order_no"] = 0
-    section_min = df.groupby(["doc_idx", "report_type", "class1"])["order_no"].transform("min")
-    reassign = is_bs & df["account_name"].isin(("부채총계", "자본총계"))
-    df.loc[reassign, "order_no"] = section_min[reassign]
-    df = df[~(is_bs & (df["account_name"] == "자본과부채총계"))].copy()
-    if df.empty:
-        return pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
+    outline = oracle.OUTLINE_REWRITE
+    totals = oracle.TOTALS
+    for i in range(m):
+        if report_type[i] == "BS":
+            c1 = class1[i]
+            c1 = outline.get(c1, c1)
+            class1[i] = c1
+            if c1 == class2[i] and c1 in totals:
+                class2[i] = ""
+            if account_name[i] == "자산총계":
+                order_no[i] = 0
+    section_min: dict[tuple, int] = {}
+    for i in range(m):
+        k = (doc_idx[i], report_type[i], class1[i])
+        o = order_no[i]
+        if k not in section_min or o < section_min[k]:
+            section_min[k] = o
+    drop = np.zeros(m, dtype=bool)
+    for i in range(m):
+        if report_type[i] == "BS":
+            an = account_name[i]
+            if an in ("부채총계", "자본총계"):
+                order_no[i] = section_min[(doc_idx[i], report_type[i], class1[i])]
+            elif an == "자본과부채총계":
+                drop[i] = True
+    if drop.any():
+        sel = ~drop
+        doc_idx, amount, order_no = doc_idx[sel], amount[sel], order_no[sel]
+        report_type, account_id = report_type[sel], account_id[sel]
+        account_name, account_name_en = account_name[sel], account_name_en[sel]
+        class1, class2, class3 = class1[sel], class2[sel], class3[sel]
+        fs_type = [fs_type[i] for i in range(m) if sel[i]]
+        period = [period[i] for i in range(m) if sel[i]]
+        m = len(doc_idx)
+    if m == 0:
+        return empty
 
     # -- enrich/save ------------------------------------------------------
-    # last-wins account_name → account_id per document
-    mapping = df.drop_duplicates(["doc_idx", "account_name"], keep="last")[
-        ["doc_idx", "account_name", "account_id"]
-    ]
-    for k in ("class1", "class2", "class3"):
-        m = mapping.rename(columns={"account_name": k, "account_id": f"{k}_id"})
-        df = df.merge(m, on=["doc_idx", k], how="left")
-        df[f"{k}_id"] = df[f"{k}_id"].fillna("")
+    # last-wins account_name → account_id per document (single dict pass)
+    name_to_id: dict[tuple, str] = {}
+    for i in range(m):
+        name_to_id[(doc_idx[i], account_name[i])] = account_id[i]
+    g = name_to_id.get
+    class1_id = [g((doc_idx[i], class1[i]), "") for i in range(m)]
+    class2_id = [g((doc_idx[i], class2[i]), "") for i in range(m)]
+    class3_id = [g((doc_idx[i], class3[i]), "") for i in range(m)]
 
-    df["report_name"] = df["report_type"].map(oracle.REPORT_NAME_MAP).fillna("")
+    rn_map = oracle.REPORT_NAME_MAP
+    strip = oracle.TOTAL_STRIP
+    report_name = [rn_map.get(rt, "") for rt in report_type]
+    for i in range(m):
+        if report_type[i] == "BS":
+            period[i] = "당기"
+            an = account_name[i]
+            if an in strip:
+                account_name[i] = strip[an]
+            c1 = class1[i]
+            if c1 in strip:
+                class1[i] = strip[c1]
+        else:
+            p = period[i]
+            if len(p) == 10:
+                period[i] = "3개월"
+            else:
+                months = (int(p[13:17]) - int(p[:4])) * 12 + (
+                    int(p[18:20]) - int(p[5:7])
+                ) + 1
+                period[i] = "3개월" if months <= 3 else "누적"
 
-    # period reclassification
-    p = df["period"]
-    rng_mask = p.str.len() > 10
-    sy = pd.to_numeric(p.str.slice(0, 4), errors="coerce")
-    sm = pd.to_numeric(p.str.slice(5, 7), errors="coerce")
-    ey = pd.to_numeric(p.str.slice(13, 17), errors="coerce")
-    em = pd.to_numeric(p.str.slice(18, 20), errors="coerce")
-    months = (ey - sy) * 12 + (em - sm) + 1
-    is_bs2 = df["report_type"] == "BS"
-    df["period"] = np.where(
-        is_bs2,
-        "당기",
-        np.where(rng_mask & (months > 3), "누적", "3개월"),
+    # deterministic final sort (python sort over key tuples — one pass)
+    order = sorted(
+        range(m),
+        key=lambda i: (
+            doc_idx[i],
+            report_type[i],
+            order_no[i],
+            period[i],
+            fs_type[i],
+            account_id[i],
+        ),
     )
+    take = np.array(order, dtype=np.int64)
 
-    # 총계-strip (save-time, AFTER hierarchy improve), BS only
-    strip_name = is_bs2 & df["account_name"].isin(oracle.TOTAL_STRIP)
-    df.loc[strip_name, "account_name"] = df.loc[strip_name, "account_name"].map(
-        oracle.TOTAL_STRIP
+    d_receipt = docs["receipt_ymd"].to_numpy(dtype=object)
+    d_corp = docs["corp_code"].to_numpy(dtype=object)
+    sdoc = doc_idx[take]
+    return pd.DataFrame(
+        {
+            "doc_idx": sdoc,
+            "order_no": order_no[take].astype(np.int32),
+            "year": d_year[sdoc],
+            "mm": d_mm[sdoc],
+            "receipt_ymd": d_receipt[sdoc],
+            "corp_code": d_corp[sdoc],
+            "report_type": report_type[take],
+            "report_name": [report_name[i] for i in order],
+            "account_id": account_id[take],
+            "account_name": account_name[take],
+            "account_name_en": account_name_en[take],
+            "class1": class1[take],
+            "class2": class2[take],
+            "class3": class3[take],
+            "class1_id": [class1_id[i] for i in order],
+            "class2_id": [class2_id[i] for i in order],
+            "class3_id": [class3_id[i] for i in order],
+            "fs_type": [fs_type[i] for i in order],
+            "period": [period[i] for i in order],
+            "amount": amount[take],
+            "crawl_time": run_ts,
+        },
+        columns=["doc_idx", *oracle.FACT_COLUMNS],
     )
-    strip_c1 = is_bs2 & df["class1"].isin(oracle.TOTAL_STRIP)
-    df.loc[strip_c1, "class1"] = df.loc[strip_c1, "class1"].map(oracle.TOTAL_STRIP)
-
-    df["crawl_time"] = run_ts
-    df["order_no"] = df["order_no"].astype("int32")
-
-    df = df.sort_values(
-        ["doc_idx", "report_type", "order_no", "period", "fs_type", "account_id"],
-        kind="mergesort",
-    ).reset_index(drop=True)
-    return df[["doc_idx", *oracle.FACT_COLUMNS]]
 
 
 def _facts_batches(
@@ -272,7 +361,10 @@ def _facts_batches(
     for pdf in it:
         docs, long = _parse_batch(pdf, run_ts)
         facts = _transform_long(long, docs, run_ts)
-        facts = facts.merge(docs[["doc_idx", "url"]], on="doc_idx", how="left")
+        # doc_idx == row position in docs → plain fancy-index, no merge
+        d_url = docs["url"].to_numpy(dtype=object)
+        facts.insert(0, "url", d_url[facts["doc_idx"].to_numpy(dtype=np.int64)]
+                     if len(facts) else np.array([], dtype=object))
         yield facts[out_cols]
 
 
@@ -281,18 +373,27 @@ def _text_batches(it: Iterator[pd.DataFrame], run_ts: str) -> Iterator[pd.DataFr
         docs, long = _parse_batch(pdf, run_ts)
         facts = _transform_long(long, docs, run_ts)
 
-        # ZIP docs → canonical TSV (vectorized string build)
+        # ZIP docs → canonical TSV: one '\t'.join per row, rows grouped
+        # by doc via a single pass (facts are doc-sorted) — avoids the
+        # 20× full-batch string-concat temporaries of the Series form
         if not facts.empty:
-            line = facts["order_no"].astype(str)
-            for c in oracle.FACT_COLUMNS[1:]:
-                col = facts[c].map(repr) if c == "amount" else facts[c].astype(str)
-                line = line + "\t" + col
-            tsv = (
-                pd.DataFrame({"doc_idx": facts["doc_idx"], "line": line})
-                .groupby("doc_idx")["line"]
-                .agg("\n".join)
-            )
-            n_facts = facts.groupby("doc_idx").size()
+            cols = []
+            for c in oracle.FACT_COLUMNS:
+                v = facts[c].to_numpy(dtype=object)
+                if c == "amount":
+                    cols.append([repr(x) for x in v])
+                elif c == "order_no":
+                    cols.append([str(int(x)) for x in v])
+                else:
+                    cols.append(v)
+            join = "\t".join
+            lines = [join(row) for row in zip(*cols)]
+            fdoc = facts["doc_idx"].to_numpy(dtype=np.int64)
+            tsv_map: dict[int, list[str]] = {}
+            for di, ln in zip(fdoc, lines):
+                tsv_map.setdefault(int(di), []).append(ln)
+            tsv = pd.Series({k: "\n".join(v) for k, v in tsv_map.items()}, dtype=object)
+            n_facts = pd.Series({k: len(v) for k, v in tsv_map.items()}, dtype="int64")
         else:
             tsv = pd.Series(dtype=object)
             n_facts = pd.Series(dtype="int64")

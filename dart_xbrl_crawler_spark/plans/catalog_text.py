@@ -255,12 +255,9 @@ def q32(spark, sf):
         "label",
         F.round(_cosine(F.col("embedding"), qv), 4).alias("sim"),
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("vec_id", "label", "sim")
-    )
+    # top-k via sort+limit (parallel TakeOrdered), NOT a global window
+    # (Window.orderBy with no partition key = one task for all rows)
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
 
 
 # =====================================================================
@@ -272,62 +269,61 @@ N_MINHASH = 32
 N_BANDS = 8
 
 
-def _minhash_signature(doc_id_col: str = "doc_id"):
-    shingle = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(
-                F.size(F.filter(F.split("text", " "), lambda x: x != "")) - 4,
-                F.lit(1),
-            ),
-        ),
-        lambda i: F.concat_ws(
-            " ",
-            F.slice(F.filter(F.split("text", " "), lambda x: x != ""), i, 5),
-        ),
+def _exploded_shingles(d: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, sh): distinct word-k-gram shingles, one row each.
+    Relational form — the shingle expression is built ONCE, then
+    exploded; the 32 minhash functions become 32 MIN aggregates over
+    these rows (map-side partial aggregation for free).  A nested
+    32×transform array expression instead blows up codegen and pins a
+    single task — measured, not theoretical."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.array_distinct(shingle),
-                    lambda s: F.xxhash64(s, F.lit(i)),
-                )
-            )
-            for i in range(N_MINHASH)
-        ]
-    )
-    return sig
+    return d.select("doc_id", F.explode(shingles).alias("sh"))
+
+
+def minhash_signatures(d: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id + h0..h{n-1} minhash columns."""
+    ex = _exploded_shingles(d)
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 @query("q30_minhash_lsh", None)
 def q30(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    sigs = d.select("doc_id", _minhash_signature().alias("sig"))
+    # single-file parquet reads come in as ONE partition — spread the
+    # shingle explode across cores before the heavy work
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
+    sigs = minhash_signatures(d)
     per_band = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * per_band + j}").cast("string")
+                        for j in range(per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)])
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * per_band + j].cast("string")
-                                    for j in range(per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-        "sig",
-    ).select("doc_id", "bb.band", "bb.bucket", "sig")
+        sig_arr.alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "sig")
     a = bands.select(
         F.col("doc_id").alias("a_id"), "band", "bucket", F.col("sig").alias("a_sig")
     )
@@ -358,22 +354,28 @@ def q30(spark, sf):
 # =====================================================================
 @query("q31_simhash", None)
 def q31(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # relational simhash: explode distinct tokens → per-doc majority
+    # vote per bit as 16 SUM aggregates (same explode-don't-nest rule
+    # as minhash)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit i of simhash = majority vote of token-hash bit i
-    bits = [
-        F.when(
-            F.size(F.filter(th, lambda h: h.bitwiseAND(F.lit(int(2**i))) != 0)) * 2
-            > F.size(th),
-            F.lit(int(2**i)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(16)  # 16 bits keeps the plan compact
+    ex = d.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "th", F.xxhash64("tok")
+    )
+    aggs = [F.count("*").alias("n_tok")] + [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(int(2**i))) != 0, 1).otherwise(0)
+        ).alias(f"b{i}")
+        for i in range(16)
     ]
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim + b
-    return d.select("doc_id", sim.alias("simhash16"))
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(16):
+        sim = sim + F.when(
+            F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(int(2**i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.alias("simhash16"))
 
 
 # =====================================================================
@@ -422,16 +424,14 @@ def q33(spark, sf):
         (F.col("bucket") == q_bucket) & (F.col("vec_id") != qrow["vec_id"])
     )
     qv_col = F.array(*[F.lit(x) for x in qv])
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
         cand.select(
             "vec_id",
             "label",
             F.round(_cosine(F.col("embedding"), qv_col), 4).alias("sim"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("vec_id", "label", "sim")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
     )
 
 

@@ -1,0 +1,83 @@
+"""Streaming ingest + multimodal plumbing smoke tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dart_xbrl_crawler_spark import fixtures
+from dart_xbrl_crawler_spark.operators import multimodal as M
+from dart_xbrl_crawler_spark.schemas import PAGES
+from dart_xbrl_crawler_spark.streaming import ingest
+
+
+def test_streaming_discovery_counts(spark, fixture_bundle, tmp_path):
+    pages, *_ = fixture_bundle
+    src = str(tmp_path / "pages_stream")
+    spark.createDataFrame(pages, schema=PAGES).repartition(4).write.parquet(src)
+
+    out = ingest.run_discovery_smoke(spark, src, "disc_smoke")
+    total_streamed = out.agg(F.sum("n_discovered")).collect()[0][0]
+    assert total_streamed == len(pages)
+    hosts = {r["host"] for r in out.select("host").distinct().collect()}
+    assert "dart.fss.or.kr" in hosts
+
+
+def test_stream_into_frontier_dedups(spark, fixture_bundle, tmp_path):
+    pages, seeds, *_ = fixture_bundle
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark.operators.scheduler import seeds_to_frontier
+    from dart_xbrl_crawler_spark.schemas import SEEDS
+
+    src = str(tmp_path / "pages_stream2")
+    spark.createDataFrame(pages, schema=PAGES).repartition(2).write.parquet(src)
+
+    store = FrontierStore(str(tmp_path / "front"), n_bloom_shards=8)
+    seeds_df = spark.createDataFrame(seeds, schema=SEEDS)
+    store.bootstrap(seeds_to_frontier(seeds_df), fixtures.RUN_TS)
+    n0 = store.state_counts(spark)["queued"]
+
+    ingest.stream_into_frontier(spark, src, store, fixtures.RUN_TS)
+    counts = store.state_counts(spark)
+    n_urls = (
+        spark.read.parquet(src).select("url").distinct().count()
+    )
+    # every distinct page url enters exactly once; seed urls already
+    # present stay deduped (fixture pages' DART urls overlap seeds)
+    assert counts["queued"] <= n0 + n_urls
+    # re-run the same stream → no growth (idempotent replay)
+    import shutil
+
+    src2 = str(tmp_path / "pages_stream3")
+    shutil.copytree(src, src2)
+    ingest.stream_into_frontier(spark, src2, store, fixtures.RUN_TS)
+    assert store.state_counts(spark) == counts
+
+
+def test_multimodal_sniff_and_features(spark):
+    rows = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "html": [
+                b"\x89PNG\r\n\x1a\n" + b"\x01" * 60,
+                b"\xff\xd8\xff\xe0" + b"\x02" * 60,
+                b"RIFF" + b"\x03" * 60,
+                b"PK\x03\x04" + b"\x04" * 60,
+                b"garbage-no-magic" + b"\x05" * 48,
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows, schema="url string, html binary")
+    sniffed = {r["url"]: r["media_type"] for r in M.sniff_media(df).collect()}
+    assert sniffed["u0"] == "image/png"
+    assert sniffed["u1"] == "image/jpeg"
+    assert sniffed["u2"] == "audio/wav"
+    assert sniffed["u3"] == "application/zip"
+    assert sniffed["u4"] is None
+
+    feats = {r["url"]: r["feature"] for r in M.extract_features(df).collect()}
+    assert feats["u4"] is None
+    assert len(feats["u0"]) == 8
+    # deterministic: same payload → same feature
+    feats2 = {r["url"]: r["feature"] for r in M.extract_features(df).collect()}
+    assert feats == feats2
