@@ -105,17 +105,20 @@ class FrontierStore:
         the pages table — the sandbox stand-in for HTTP), transition
         states, commit one snapshot.  Returns (snapshot_id, fetched
         pages DataFrame ready for the extract stage)."""
+        from pyspark.storagelevel import StorageLevel
+
         frontier = self.table.read(spark)
         queued = frontier.filter(F.col("state") == "queued")
-        rest = frontier.filter(F.col("state") != "queued")
 
+        # popped feeds three consumers (fetch set, robots transitions,
+        # lineage) → materialize once
         popped = P.pop_round(
             queued,
             robots,
             round_ms=round_ms,
             salt_buckets=salt_buckets,
             max_per_host=max_per_host,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
         selected = popped.filter(F.col("selected"))
         fetch_in = P.fetch_partitioning(selected, n_partitions)
@@ -127,7 +130,9 @@ class FrontierStore:
             .select("url_hash", "html", "warc_ts")
             .dropDuplicates(["url_hash"])
         )
-        fetched = fetch_in.join(page_bytes, "url_hash", "left")
+        fetched = fetch_in.join(page_bytes, "url_hash", "left").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         ok = fetched.filter(F.col("html").isNotNull())
         missing = fetched.filter(F.col("html").isNull())
@@ -172,6 +177,7 @@ class FrontierStore:
         fetched_pages = ok.select(
             "url", "url_canon", "url_hash", "host", "seed_rcp_no", "html", "warc_ts"
         )
+        popped.unpersist()  # snapshot committed — drop the round's caches
         return snap, fetched_pages
 
     def state_counts(self, spark: SparkSession) -> dict[str, int]:

@@ -63,7 +63,11 @@ def pop_round(
     repartition by (host, partition_salt) for the fetch stage.
     """
     gated = apply_robots(frontier, robots)
+    # ONE window pass: blocked rows sort last within their host, so
+    # candidate ranks 1..k are identical to ranking candidates alone —
+    # no filter+union (which would recompute the whole upstream twice)
     w = Window.partitionBy("host").orderBy(
+        F.col("robots_blocked").asc(),
         F.col("priority").desc(),
         F.col("discovered_ts").asc(),
         F.col("url_hash").asc(),
@@ -71,15 +75,18 @@ def pop_round(
     budget = F.floor(F.lit(round_ms) / F.col("crawl_delay_ms"))
     if max_per_host is not None:
         budget = F.least(budget, F.lit(max_per_host))
-    # blocked rows must not consume budget slots → rank candidates only
-    blocked = gated.filter(F.col("robots_blocked")).withColumn(
-        "host_rank", F.lit(None).cast("int")
-    ).withColumn("selected", F.lit(False))
+    rn = F.row_number().over(w)
     ranked = (
-        gated.filter(~F.col("robots_blocked"))
-        .withColumn("host_rank", F.row_number().over(w))
-        .withColumn("selected", F.col("host_rank") <= budget)
-        .unionByName(blocked)
+        gated.withColumn("_rn", rn)
+        .withColumn(
+            "host_rank",
+            F.when(~F.col("robots_blocked"), F.col("_rn")).cast("int"),
+        )
+        .withColumn(
+            "selected",
+            (~F.col("robots_blocked")) & (F.col("_rn") <= budget),
+        )
+        .drop("_rn")
     )
     return ranked.withColumn(
         "partition_salt",

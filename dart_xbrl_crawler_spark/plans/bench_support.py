@@ -100,6 +100,45 @@ def synth_pages(spark: SparkSession, n_docs: int, n_parts: int) -> DataFrame:
     )
 
 
+def frontier_scale_job(spark: SparkSession, n_urls: int) -> int:
+    """Scaling workload: generate a skewed n_urls frontier inline
+    (spark.range + expressions, no I/O), canonicalize (pandas UDF),
+    bloom-dedup vs a seen half, politeness-pop with salting.  Mix of
+    python-UDF and JVM (xxhash/shuffle/window) work — the shape of a
+    real crawl round."""
+    from ..functions.urls import with_url_canon
+    from ..operators import dedup as D
+    from ..operators import politeness as P
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(n_urls, numPartitions=par * 4)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("id") % 10 < 6, F.lit("DART.FSS.OR.KR")).otherwise(
+            F.concat(F.lit("host"), (F.col("id") % 211).cast("string"), F.lit(".example"))
+        ),
+        F.lit("/api/doc?b="),
+        (F.col("id") % 7).cast("string"),
+        F.lit("&a="),
+        F.col("id").cast("string"),
+        F.when(F.col("id") % 3 == 0, "#frag").otherwise(""),
+    )
+    canon = with_url_canon(base.select(url.alias("url"), "id"))
+    seen = canon.filter(F.col("id") % 2 == 0).select("url_hash")
+    bloom = D.build_seen_filter(seen, n_shards=256, expected_keys=n_urls // 2)
+    fresh = D.dedup_urls(canon.drop("id"), seen, bloom, n_shards=256)
+    frontier = fresh.withColumn("priority", F.lit(0.0)).withColumn(
+        "discovered_ts", F.to_timestamp(F.lit(RUN_TS))
+    )
+    robots = spark.createDataFrame(
+        [("dart.fss.or.kr", None, 1)]
+        + [(f"host{k}.example", None, 10) for k in range(211)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    popped = P.pop_round(frontier, robots, round_ms=3_600_000, salt_buckets=64)
+    return popped.filter(F.col("selected")).count()
+
+
 def frontier_pop_job(spark: SparkSession, pages_path: str) -> int:
     """Canonicalize → bloom-dedup vs a seen half → per-host politeness
     top-k with salting.  Returns pops (selected count)."""

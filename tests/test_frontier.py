@@ -42,6 +42,33 @@ def test_canonicalize_idempotent(url):
     assert c1 == c2 and h1 == h2
 
 
+@given(_url_strategy)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_fast_matches_general(url):
+    from dart_xbrl_crawler_spark.functions.urls import _canonicalize_general
+
+    assert canonicalize_one(url) == _canonicalize_general(url)
+
+
+def test_canonicalize_fast_edge_cases():
+    from dart_xbrl_crawler_spark.functions.urls import _canonicalize_general
+
+    cases = [
+        "https://H.example/p?a=b=c",          # '=' in value → quoted path
+        "https://h.example/p?a=%20x",          # percent escape
+        "https://h.example/p?b=2&a=1&b=0",     # duplicate keys, sort
+        "https://user:pw@h.example/p",         # userinfo
+        "https://h.example:8080/p?x=",         # blank value, odd port
+        "https://h.example:bad/p",             # invalid port
+        "https://h.example",                   # empty path
+        "http://h.example:80/",                # default port drop
+        "https://h.example/p?&&a=1&",          # empty segments
+        "https://h.example/p?a",               # key without '='
+    ]
+    for u in cases:
+        assert canonicalize_one(u) == _canonicalize_general(u), u
+
+
 def test_canonicalize_traps():
     a, _ = canonicalize_one("https://DART.FSS.OR.KR/api/x.xml?b=2&a=1#frag")
     b, _ = canonicalize_one("https://dart.fss.or.kr:443/api/x.xml?a=1&b=2")
