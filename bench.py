@@ -44,6 +44,37 @@ def _noop_materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_calibration() -> dict:
+    """Measure THIS HOST's effective parallel speedup 8→32 procs with a
+    pure-python burn (no Spark).  The sandbox VM is co-tenant: observed
+    same-day swings from 30.7× to 17.6× aggregate speedup at 32 procs.
+    Scaling efficiency of Spark jobs is reported both raw and against
+    this machine ceiling."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        x = n = 0
+        while time.time() - t0 < 2.0:
+            for i in range(100000):
+                x += i * i
+            n += 1
+        q.put(n)
+
+    agg = {}
+    for N in (8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(N)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        agg[N] = sum(q.get() for _ in ps)
+    return {
+        "burn_agg_8": agg[8],
+        "burn_agg_32": agg[32],
+        "machine_speedup_8_to_32": round(agg[32] / agg[8], 3),
+    }
+
+
 def _crawl_subprocess(cores: int, pages_path: str, n_urls: int) -> dict:
     """Measure the crawl jobs in a FRESH JVM at `cores`: warm-up pass,
     then best-of-2 (in-process session reuse and leaked caches poison
@@ -60,11 +91,9 @@ B.frontier_scale_job(spark, 50_000)
 r = dict(cores={cores})
 for name, fn in (("ext", lambda: B.extract_job(spark, {pages_path!r})),
                  ("pop", lambda: B.frontier_scale_job(spark, {n_urls}))):
-    best, n = 1e18, 0
-    for _ in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time(); n = fn(); best = min(best, time.time() - t0)
-    r["t_" + name], r["n_" + name] = best, n
+    spark.catalog.clearCache()
+    t0 = time.time(); n = fn()
+    r["t_" + name], r["n_" + name] = time.time() - t0, n
 print("RESULT " + json.dumps(r))
 spark.stop()
 """
@@ -80,7 +109,7 @@ spark.stop()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
     from dart_xbrl_crawler_spark.plans import bench_support as B
@@ -112,8 +141,30 @@ def main() -> None:
         timings["crawl_synth"] = round(time.time() - t0, 3)
     spark.stop()
 
-    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000"))
-    main = _crawl_subprocess(cpus, pages_dir, n_urls)
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "500000"))
+
+    # interleave the parallelism points (8, 32, 8, 32) and take the
+    # per-config best: the co-tenant host drifts on minute timescales,
+    # so alternating exposes both configs to the same conditions
+    def _best(runs: list[dict]) -> dict:
+        out = dict(runs[0])
+        for r in runs[1:]:
+            for part in ("ext", "pop"):
+                if r["t_" + part] < out["t_" + part]:
+                    out["t_" + part] = r["t_" + part]
+                    out["n_" + part] = r["n_" + part]
+        return out
+
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    if skip_scaling:
+        main = _crawl_subprocess(cpus, pages_dir, n_urls)
+    else:
+        lo_runs, hi_runs = [], []
+        for _ in range(2):
+            lo_runs.append(_crawl_subprocess(8, pages_dir, n_urls))
+            hi_runs.append(_crawl_subprocess(32, pages_dir, n_urls))
+        lo, hi = _best(lo_runs), _best(hi_runs)
+        main = hi if cpus == 32 else lo
     timings["crawl_frontier_pop"] = round(main["t_pop"], 3)
     timings["crawl_extract"] = round(main["t_ext"], 3)
     throughput = {
@@ -124,11 +175,11 @@ def main() -> None:
     }
 
     # scaling evidence: N vs 4N parallelism on the same input ------------
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        lo = _crawl_subprocess(8, pages_dir, n_urls)
-        hi = main if cpus == 32 else _crawl_subprocess(32, pages_dir, n_urls)
+    if not skip_scaling:
+        calib = _cpu_calibration()
         t8 = lo["t_pop"] + lo["t_ext"]
         t32 = hi["t_pop"] + hi["t_ext"]
+        machine_ceiling = min(4.0, calib["machine_speedup_8_to_32"])
         throughput["scaling"] = {
             "cores_lo": 8,
             "cores_hi": 32,
@@ -137,6 +188,10 @@ def main() -> None:
             "pops_per_s_8": round(lo["n_pop"] / lo["t_pop"], 1),
             "pops_per_s_32": round(hi["n_pop"] / hi["t_pop"], 1),
             "efficiency": round((t8 / t32) / 4.0, 3),
+            "efficiency_vs_machine_ceiling": round(
+                (t8 / t32) / machine_ceiling, 3
+            ),
+            **calib,
         }
         timings["scaling_8"] = round(t8, 3)
         timings["scaling_32"] = round(t32, 3)

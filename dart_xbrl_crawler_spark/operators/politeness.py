@@ -62,36 +62,72 @@ def pop_round(
     states (selected → fetch; robots_blocked → terminal) and
     repartition by (host, partition_salt) for the fetch stage.
     """
-    gated = apply_robots(frontier, robots)
-    # ONE window pass: blocked rows sort last within their host, so
-    # candidate ranks 1..k are identical to ranking candidates alone —
-    # no filter+union (which would recompute the whole upstream twice)
-    w = Window.partitionBy("host").orderBy(
-        F.col("robots_blocked").asc(),
-        F.col("priority").desc(),
-        F.col("discovered_ts").asc(),
-        F.col("url_hash").asc(),
+    gated = apply_robots(frontier, robots).withColumn(
+        "partition_salt",
+        F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"),
     )
     budget = F.floor(F.lit(round_ms) / F.col("crawl_delay_ms"))
     if max_per_host is not None:
         budget = F.least(budget, F.lit(max_per_host))
-    rn = F.row_number().over(w)
-    ranked = (
-        gated.withColumn("_rn", rn)
-        .withColumn(
-            "host_rank",
-            F.when(~F.col("robots_blocked"), F.col("_rn")).cast("int"),
-        )
-        .withColumn(
-            "selected",
-            (~F.col("robots_blocked")) & (F.col("_rn") <= budget),
-        )
-        .drop("_rn")
+    gated = gated.withColumn("_budget", budget)
+
+    # Per-host candidate counts: hosts whose whole queue fits the budget
+    # (the common case, including under-filled giant hosts) BYPASS
+    # ranking entirely — Amdahl's law otherwise pins the round on the
+    # one task that sorts the giant host.
+    counts = (
+        gated.filter(~F.col("robots_blocked"))
+        .groupBy("host")
+        .agg(F.count("*").alias("_n_cand"))
     )
-    return ranked.withColumn(
-        "partition_salt",
-        F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"),
-    ).drop("disallow_prefix")
+    gated = gated.join(counts, "host", "left").withColumn(
+        "_n_cand", F.coalesce("_n_cand", F.lit(0))
+    )
+
+    # Over-budget hosts rank in two phases:
+    #   phase 1 — window over (host, salt): any row in the true global
+    #   top-k of its host has <k rows above it, hence <k above it in its
+    #   own salt bucket → salt-rank ≤ k.  Skew-free (salt spreads the
+    #   giant host over `salt_buckets` tasks) and cuts survivors to
+    #   ≤ budget·salt_buckets per host.
+    #   phase 2 — exact window over (host) on survivors only.
+    order = [
+        F.col("robots_blocked").asc(),
+        F.col("priority").desc(),
+        F.col("discovered_ts").asc(),
+        F.col("url_hash").asc(),
+    ]
+    w1 = Window.partitionBy("host", "partition_salt").orderBy(*order)
+    ranked = gated.withColumn("_rn1", F.row_number().over(w1))
+
+    over = F.col("_n_cand") > F.col("_budget")
+    w2 = Window.partitionBy("host").orderBy(*order)
+    # phase-2 rank computed only where it can matter; survivors of
+    # phase 1 elsewhere get null and fall through to the bypass rule
+    need2 = over & (F.col("_rn1") <= F.col("_budget")) & ~F.col("robots_blocked")
+    ranked = ranked.withColumn(
+        "_rn2",
+        F.when(
+            need2,
+            F.row_number().over(
+                Window.partitionBy("host", need2.cast("int")).orderBy(*order)
+            ),
+        ),
+    )
+    selected = (~F.col("robots_blocked")) & F.coalesce(
+        F.when(over, F.col("_rn2") <= F.col("_budget")).otherwise(F.lit(True)),
+        F.lit(False),  # over-budget non-survivors have null _rn2
+    )
+    host_rank = F.when(
+        F.col("robots_blocked"), F.lit(None).cast("int")
+    ).otherwise(
+        F.when(over, F.col("_rn2")).otherwise(F.col("_rn1")).cast("int")
+    )
+    return (
+        ranked.withColumn("selected", selected)
+        .withColumn("host_rank", host_rank)
+        .drop("_rn1", "_rn2", "_n_cand", "_budget", "disallow_prefix")
+    )
 
 
 def fetch_partitioning(selected: DataFrame, n_partitions: int) -> DataFrame:

@@ -141,6 +141,49 @@ def test_politeness_budget_never_exceeded(spark, fixture_bundle):
         assert rows and all(r["robots_blocked"] and not r["selected"] for r in rows)
 
 
+def test_politeness_over_budget_matches_bruteforce(spark):
+    """Two-phase ranking must select EXACTLY the brute-force top-budget
+    per host (full tie-break ordering), bypass path included."""
+    import itertools
+
+    rows = []
+    # giant host: 500 rows, budget 7; small host: 5 rows, budget 50
+    for i in range(500):
+        rows.append(("https://giant.x/p%d" % i, "giant.x", float(i % 13), i))
+    for i in range(5):
+        rows.append(("https://tiny.x/p%d" % i, "tiny.x", 1.0, i))
+    pdf = pd.DataFrame(rows, columns=["url", "host", "priority", "k"])
+    pdf["url_canon"] = pdf["url"]
+    pdf["url_hash"] = pdf["k"] * 7919 + 13
+    import datetime
+
+    pdf["discovered_ts"] = [
+        datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=int(k % 50))
+        for k in pdf["k"]
+    ]
+    frontier = spark.createDataFrame(
+        pdf[["url", "url_canon", "url_hash", "host", "priority", "discovered_ts"]]
+    )
+    robots = spark.createDataFrame(
+        [("giant.x", None, 1000), ("tiny.x", None, 140)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    popped = P.pop_round(frontier, robots, round_ms=7_000, salt_buckets=8)
+    got = {
+        r["url"] for r in popped.filter(F.col("selected")).collect()
+    }
+
+    # brute force in pandas: top-budget per host by the same ordering
+    want = set()
+    for host, budget in (("giant.x", 7), ("tiny.x", 50)):
+        sub = pdf[pdf["host"] == host].sort_values(
+            ["priority", "discovered_ts", "url_hash"],
+            ascending=[False, True, True],
+        )
+        want |= set(sub["url"].head(budget))
+    assert got == want
+
+
 # ----------------------------------------------------------- scheduler
 def test_reference_crawl_ordering(spark, fixture_bundle):
     _, seeds, *_ = fixture_bundle

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in `explain()` output — pushed filters, broadcast joins, no global
+single-partition windows in the politeness path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(E.queries()["q01_pricing_summary"](spark, SF))
+    assert "PushedFilters" in plan
+    # the shipdate predicate must reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q01_column_pruning(spark):
+    plan = _plan(E.queries()["q01_pricing_summary"](spark, SF))
+    # ReadSchema must NOT include unused wide columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema  # not even in this dataset, but
+    assert "l_partkey" not in read_schema  # present in data, unused in q01
+
+
+def test_q02_broadcast_joins(spark):
+    plan = _plan(E.queries()["q02_dim_join_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims are broadcast
+
+
+def test_semi_anti_join_strategies(spark):
+    plan3 = _plan(E.queries()["q03_semi_join_segments"](spark, SF))
+    plan4 = _plan(E.queries()["q04_anti_join_idle_customers"](spark, SF))
+    assert "LeftSemi" in plan3
+    assert "LeftAnti" in plan4
+
+
+def test_politeness_has_no_unpartitioned_window(spark, fixture_bundle):
+    """A Window with an empty partition spec serializes the whole input
+    into one task — the politeness plan must never contain one."""
+    from dart_xbrl_crawler_spark.functions.urls import with_url_canon
+    from dart_xbrl_crawler_spark.operators import politeness as P
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS
+
+    pages, _, _, robots = fixture_bundle
+    frontier = (
+        with_url_canon(spark.createDataFrame(pages, schema=PAGES).select("url"))
+        .withColumn("priority", F.lit(0.0))
+        .withColumn("discovered_ts", F.to_timestamp(F.lit("2026-01-16")))
+    )
+    robots_df = spark.createDataFrame(robots, schema=ROBOTS)
+    plan = _plan(P.pop_round(frontier, robots_df, round_ms=10_000))
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" in line:
+            pytest.fail(f"unexpected window spec line: {line}")
+    # windows must partition by host (+ salt)
+    assert "host" in plan
+
+
+def test_extract_projects_only_kernel_columns(spark, fixture_bundle):
+    """The Arrow channel into the extract UDF must carry only
+    (url, html, report_nm, rcept_dt) — never text/lang/warc_ts."""
+    from dart_xbrl_crawler_spark.operators import extract as X
+    from dart_xbrl_crawler_spark.plans import pipeline
+    from dart_xbrl_crawler_spark.schemas import PAGES, SEEDS
+
+    pages, seeds, *_ = fixture_bundle
+    meta = pipeline.pages_with_meta(
+        spark.createDataFrame(pages, schema=PAGES),
+        spark.createDataFrame(seeds, schema=SEEDS),
+    )
+    df = X.extract_facts(meta, "2026-01-16 00:00:00")
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # lang and the golden text column are never used by the kernel —
+    # column pruning must eliminate them from the whole plan
+    assert "lang" not in plan
+    assert "warc_ts" not in plan
