@@ -469,3 +469,136 @@ def q35(spark, sf):
 
 
 __all__ = ["Q", "ORACLE"]
+
+
+# =====================================================================
+# Athena corp-map SQL shape (fixed_corp_map_lambda.py:76-190): LPAD
+# normalization + GROUP BY dedup + ORDER BY, as plain spark.sql
+# =====================================================================
+@query(
+    "q36_corp_map_sql",
+    """
+    SELECT c_name AS dart_corp,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS dart_corp_code,
+           LPAD(CAST(c_nationkey AS VARCHAR), 6, '0') AS stock_code
+    FROM customer
+    GROUP BY c_name, c_custkey, c_nationkey
+    ORDER BY dart_corp
+    """,
+)
+def q36(spark, sf):
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_name AS dart_corp,
+               LPAD(CAST(c_custkey AS STRING), 8, '0') AS dart_corp_code,
+               LPAD(CAST(c_nationkey AS STRING), 6, '0') AS stock_code
+        FROM customer_v
+        GROUP BY c_name, c_custkey, c_nationkey
+        ORDER BY dart_corp
+        """
+    )
+
+
+# =====================================================================
+# collect_set + priority pick (s3_uploader.py:108-115: prefer 'BS'
+# among a group's report types, else the min)
+# =====================================================================
+@query(
+    "q37_priority_pick",
+    """
+    SELECT o_custkey,
+           CASE WHEN list_contains(list(DISTINCT o_orderstatus), 'F')
+                THEN 'F' ELSE MIN(o_orderstatus) END AS picked_status,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q37(spark, sf):
+    o = _t(spark, sf, "orders")
+    statuses = F.collect_set("o_orderstatus")
+    return o.groupBy("o_custkey").agg(
+        F.when(F.array_contains(statuses, "F"), "F")
+        .otherwise(F.min("o_orderstatus"))
+        .alias("picked_status"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+# =====================================================================
+# page-1 truncation (dart_api_manager.py:241-242): global sort + limit
+# with full tie-break
+# =====================================================================
+@query(
+    "q38_page_truncation",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
+    """,
+)
+def q38(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# =====================================================================
+# Structured Streaming twin of q19: file-source stream over the same
+# events parquet, complete-mode windowed agg — must equal the batch
+# oracle exactly (exactly-once file source, no late data in replay)
+# =====================================================================
+_STREAM_SEQ = [0]
+
+
+@query(
+    "q39_stream_hourly",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY hour_bucket, event_type
+    """,
+)
+def q39(spark, sf):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type",
+            "n",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"q39_stream_out_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
