@@ -200,6 +200,32 @@ def test_reference_crawl_ordering(spark, fixture_bundle):
     assert len(visited_heavy) <= 5
 
 
+def test_snapshot_crash_safety(spark, tmp_path):
+    """A writer killed mid-snapshot leaves an unpublished dir; readers
+    never see it, and the next commit proceeds normally."""
+    import os
+
+    from dart_xbrl_crawler_spark.sources.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    s1 = t.commit(df1, note="first")
+
+    # simulate a crashed writer: half-written snapshot dir, no manifest entry
+    orphan = os.path.join(t.path, "snap-999999-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage not parquet")
+
+    assert t.latest_snapshot_id() == s1
+    assert t.read(spark).count() == 10  # orphan invisible
+
+    s2 = t.commit(spark.range(20).withColumnRenamed("id", "k"), note="second")
+    assert t.read(spark).count() == 20
+    assert t.read(spark, s1).count() == 10  # time travel intact
+    assert [s["id"] for s in t.snapshots()] == [s1, s2]
+
+
 # ------------------------------------------------------ frontier store
 def test_frontier_rounds_and_resume(spark, fixture_bundle, tmp_path):
     pages, seeds, corp_map, robots = fixture_bundle
