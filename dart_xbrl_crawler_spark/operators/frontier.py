@@ -175,7 +175,15 @@ class FrontierStore:
         snap = self.table.commit(new_frontier, note=f"round={round_id}")
 
         fetched_pages = ok.select(
-            "url", "url_canon", "url_hash", "host", "seed_rcp_no", "html", "warc_ts"
+            "url",
+            "url_canon",
+            "url_hash",
+            "host",
+            "seed_rcp_no",
+            "priority",
+            "host_rank",
+            "html",
+            "warc_ts",
         )
         popped.unpersist()  # snapshot committed — drop the round's caches
         return snap, fetched_pages
