@@ -602,3 +602,24 @@ def q39(spark, sf):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# =====================================================================
+# approx_count_distinct (frontier cardinality metric) + from_json with
+# explicit schema — rows-only (HLL sketches are engine-specific)
+# =====================================================================
+@query("q40_approx_cardinality", None)
+def q40(spark, sf):
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = e.withColumn("pk", F.from_json("props", props_schema).getField("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("pk").alias("approx_k"),
+            F.count("*").alias("n"),
+        )
+    )
