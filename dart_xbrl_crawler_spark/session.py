@@ -9,6 +9,7 @@ UTC session timezone so DuckDB oracle comparisons are stable.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,11 @@ def get_spark(
         # /root/reference/xbrl_processor.py:274)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (co-located joins) land here, not in cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
