@@ -623,3 +623,57 @@ def q40(spark, sf):
             F.count("*").alias("n"),
         )
     )
+
+
+# =====================================================================
+# rollup — hierarchical totals (region → nation → grand total)
+# =====================================================================
+@query(
+    "q41_rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q41(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+# =====================================================================
+# pivot — wide by linestatus (the reference's wide→long inverse)
+# =====================================================================
+@query(
+    "q42_pivot_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q42(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity")))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
