@@ -156,14 +156,20 @@ def main() -> None:
         return out
 
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
-    if skip_scaling:
+    lo = hi = None
+    if not skip_scaling:
+        try:
+            lo_runs, hi_runs = [], []
+            for _ in range(2):
+                lo_runs.append(_crawl_subprocess(8, pages_dir, n_urls))
+                hi_runs.append(_crawl_subprocess(32, pages_dir, n_urls))
+            lo, hi = _best(lo_runs), _best(hi_runs)
+        except Exception as exc:  # scaling must never eat the JSON line
+            print(f"scaling runs failed: {exc}", file=sys.stderr)
+            skip_scaling = True
+    if skip_scaling and hi is None:
         main = _crawl_subprocess(cpus, pages_dir, n_urls)
     else:
-        lo_runs, hi_runs = [], []
-        for _ in range(2):
-            lo_runs.append(_crawl_subprocess(8, pages_dir, n_urls))
-            hi_runs.append(_crawl_subprocess(32, pages_dir, n_urls))
-        lo, hi = _best(lo_runs), _best(hi_runs)
         main = hi if cpus == 32 else lo
     timings["crawl_frontier_pop"] = round(main["t_pop"], 3)
     timings["crawl_extract"] = round(main["t_ext"], 3)
