@@ -33,8 +33,6 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
-
 from .operators.frontier import FrontierStore
 from .operators.scheduler import seeds_to_frontier
 from .plans import pipeline
@@ -108,8 +106,6 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "extract":
         pages = spark.read.parquet(args.pages)
-        if "report_nm" not in pages.columns:
-            pages = pages.withColumn("report_nm", F.lit(None).cast("string"))
         seeds = spark.read.parquet(args.seeds)
         corp_map = spark.read.parquet(args.corp_map)
         facts = pipeline.run_extract(pages, seeds, corp_map, args.run_ts)

@@ -68,36 +68,57 @@ def build_mini_xbrl_zip(
 
 
 def _mk_doc(rng: random.Random, year: int, mm: int) -> dict:
-    """One document exercising every extract-kernel path: zero/NaN
-    amounts, out-of-period facts, 연결/별도, instant + range periods,
-    ≤3-month and >3-month spans."""
+    """One WIDE-matrix document (mini-xbrl-2) exercising every
+    extract-kernel path.  Shape mirrors the reference's pandas frame
+    (rows = concepts, columns = tuple-labeled periods,
+    xbrl_processor.py:458-503), so the kernel must actually unpivot:
+
+      * instant + range periods, ≤3-month and >3-month spans,
+        out-of-period (previous-year) columns — period filter;
+      * 연결/별도 columns, plus a column with NO fs tuple (reference
+        defaults it to 연결, xbrl_processor.py:597-601);
+      * a column whose label fails the period-shape regex (dropped,
+        xbrl_processor.py:589-591) and a DUPLICATE period column
+        (emits duplicate rows — reference appends without dedup);
+      * cell values: zero (dropped), null, NaN (dropped), non-numeric
+        string (dropped), negative, >1e12 floats.
+    """
     q_end = f"{year}{mm:02d}30" if mm in (6, 9) else f"{year}{mm:02d}31"
     q_start = f"{year}{mm - 2:02d}01"
     y_start = f"{year}0101"
     other_year = f"{year - 1}{mm:02d}30"
 
-    def facts_for(report_type: str) -> list[dict]:
-        facts = []
+    def columns_for(report_type: str) -> list[list]:
+        if report_type == "BS":
+            dates = [q_end, other_year]
+        else:
+            dates = [f"{q_start}-{q_end}", f"{y_start}-{q_end}", q_end]
+        cols: list[list] = []
         for fs in ("연결재무제표", "별도재무제표"):
-            if report_type == "BS":
-                periods = [q_end, other_year]
-            else:
-                periods = [f"{q_start}-{q_end}", f"{y_start}-{q_end}", q_end]
-            for p in periods:
-                r = rng.random()
-                if r < 0.08:
-                    amount = 0.0  # dropped
-                elif r < 0.12:
-                    amount = None  # dropped
-                else:
-                    amount = round(rng.uniform(-5e12, 5e12), 2)
-                facts.append({"period": p, "fs": fs, "amount": amount})
-        return facts
+            for d in dates:
+                cols.append([d, [fs]])
+        cols.append(["주석", ["연결재무제표"]])  # regex-rejected label
+        cols.append([q_end, ["연결재무제표"]])  # duplicate period column
+        cols.append([q_end, []])  # missing fs tuple → 연결 default
+        return cols
 
-    def concepts(rows: list[tuple], report_type: str) -> list[dict]:
-        out = []
+    def cell(rng: random.Random):
+        r = rng.random()
+        if r < 0.06:
+            return 0.0  # zero → dropped
+        if r < 0.10:
+            return None  # null cell → dropped
+        if r < 0.13:
+            return float("nan")  # NaN → dropped
+        if r < 0.16:
+            return "n/a"  # non-numeric → dropped
+        return round(rng.uniform(-5e12, 5e12), 2)
+
+    def stmt(rows: list[tuple], report_type: str) -> dict:
+        cols = columns_for(report_type)
+        out_rows = []
         for cid, ko, en, c1, c2, c3 in rows:
-            out.append(
+            out_rows.append(
                 {
                     "concept_id": cid,
                     "label_ko": ko,
@@ -105,16 +126,16 @@ def _mk_doc(rng: random.Random, year: int, mm: int) -> dict:
                     "class1": c1,
                     "class2": c2,
                     "class3": c3,
-                    "facts": facts_for(report_type),
+                    "values": [cell(rng) for _ in cols],
                 }
             )
-        return out
+        return {"columns": cols, "rows": out_rows}
 
     return {
-        "doc_format": "mini-xbrl-1",
+        "doc_format": "mini-xbrl-2",
         "statements": {
-            "BS": {"concepts": concepts(_ACCOUNTS_BS, "BS")},
-            "CIS": {"concepts": concepts(_ACCOUNTS_CIS, "CIS")},
+            "BS": stmt(_ACCOUNTS_BS, "BS"),
+            "CIS": stmt(_ACCOUNTS_CIS, "CIS"),
         },
     }
 

@@ -95,23 +95,24 @@ def build_seen_filter(
     per_shard_n = (expected_keys // n_shards + 1) if expected_keys else None
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-partition partial build, one bitmap per shard present
-        acc: dict[int, tuple[np.ndarray, int, int, int]] = {}
+        # Per-partition partial build, one bitmap per shard present.
+        # Hashes accumulate across ALL Arrow chunks first; the bitmap is
+        # sized once at end of partition — sizing from the first ~2048-row
+        # chunk saturates the filter on large frontiers (fpp → 1).
+        chunks: dict[int, list[np.ndarray]] = {}
         for pdf in it:
             hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
             shards = pdf["shard"].to_numpy()
             for s in np.unique(shards):
-                hs = hashes[shards == s]
-                if int(s) not in acc:
-                    m, k = _bloom_params(per_shard_n or len(hs), fpp)
-                    acc[int(s)] = (np.zeros(m // 64, dtype=np.uint64), m, k, 0)
-                bits, m, k, n = acc[int(s)]
-                for pos in _positions(hs, m, k):
-                    _set_bits(bits, pos)
-                acc[int(s)] = (bits, m, k, n + len(hs))
-        rows = [
-            (s, bits.tobytes(), m, k, n) for s, (bits, m, k, n) in acc.items()
-        ]
+                chunks.setdefault(int(s), []).append(hashes[shards == s])
+        rows = []
+        for s, parts in chunks.items():
+            hs = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            m, k = _bloom_params(per_shard_n or len(hs), fpp)
+            bits = np.zeros(m // 64, dtype=np.uint64)
+            for pos in _positions(hs, m, k):
+                _set_bits(bits, pos)
+            rows.append((s, bits.tobytes(), m, k, len(hs)))
         yield pd.DataFrame(
             rows, columns=["shard", "bits", "m_bits", "k_hashes", "n_keys"]
         )
@@ -120,18 +121,26 @@ def build_seen_filter(
         F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
         "url_hash",
     ).repartition(n_shards, "shard")
-    partials = with_shard.mapInPandas(build, schema=BLOOM_SCHEMA)
+    # hash-partitioning on shard puts each shard wholly in ONE partition,
+    # and `build` emits one row per shard present — the result is already
+    # merged; a groupBy OR-merge here would only re-shuffle the bitmaps
+    # (use merge_seen_filters for incremental cross-round unions)
+    return with_shard.mapInPandas(build, schema=BLOOM_SCHEMA)
 
-    # OR-merge partials per shard (same sizing ⇒ same m; with dynamic
-    # sizing each shard is built in exactly one partition post-
-    # repartition, so merge is a no-op pass-through)
+
+def merge_seen_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two bloom tables built with the SAME (n_shards,
+    expected_keys) sizing — the incremental path: union last round's
+    filter with the filter of this round's insert batch instead of
+    rebuilding from the full frontier."""
+
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m = int(pdf["m_bits"].iloc[0])
         k = int(pdf["k_hashes"].iloc[0])
         assert (pdf["m_bits"] == m).all(), "shard bitmap sizes diverged"
         out = np.zeros(m // 64, dtype=np.uint64)
-        for b in pdf["bits"]:
-            out |= np.frombuffer(b, dtype=np.uint64)
+        for buf in pdf["bits"]:
+            out |= np.frombuffer(buf, dtype=np.uint64)
         return pd.DataFrame(
             {
                 "shard": [key[0]],
@@ -142,7 +151,7 @@ def build_seen_filter(
             }
         )
 
-    return partials.groupBy("shard").applyInPandas(merge, schema=BLOOM_SCHEMA)
+    return a.unionByName(b).groupBy("shard").applyInPandas(merge, BLOOM_SCHEMA)
 
 
 _VERDICT_SCHEMA = T.StructType(
@@ -198,39 +207,61 @@ def dedup_urls(
 ) -> DataFrame:
     """Exact frontier − seen.
 
-    With a bloom: probe hashes (numeric-only python stage), confirm the
-    flagged hashes against the seen set with a semi-join (small: true
-    seen + fpp·|new|), then ONE anti-join of the full frontier against
-    that confirmed-seen hash set — strings take exactly one JVM shuffle,
-    no branch double-compute, no persist barrier needed.
+    With a bloom: ONE shard-aligned numeric python stage does both the
+    bloom probe AND the exact confirmation — frontier hashes and seen
+    hashes are tagged, unioned, cogrouped with the bloom by shard; per
+    shard, numpy bloom-tests the frontier hashes and ``np.isin``-checks
+    the flagged ones against that shard's seen hashes.  The output
+    (``confirmed``: hashes provably in seen) is bounded by the *batch*
+    (true overlap + fpp·|new|), never by |seen| — broadcast it into a
+    single anti-join, so the frontier (strings) never shuffles or sorts
+    and the seen table moves only as bare int64 hashes.
+
+    Why not joins: the SortMergeJoin-anti formulation cost two full
+    sorts of the 5M-row sides and anti-scaled 1.4× going 8→32 cores;
+    flagged-semi-join-then-anti spent its time in driver broadcast
+    jobs.  At 10^10 scale, store frontier + seen bucketed by
+    pmod(url_hash, n_shards) (sources/bucketed.py) and this plan's one
+    union-shuffle disappears too.
+
     Without a bloom: plain left-anti on url_hash."""
-    seen_hashes = seen.select("url_hash").distinct()
+    seen_hashes = seen.select("url_hash")
     if bloom is None:
-        return frontier.join(seen_hashes, "url_hash", "left_anti")
-    keyed = frontier.select("url_hash").withColumn(
-        "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+        return frontier.join(seen_hashes.distinct(), "url_hash", "left_anti")
+    tagged = (
+        frontier.select("url_hash", F.lit(False).alias("is_seen"))
+        .unionByName(seen_hashes.select("url_hash", F.lit(True).alias("is_seen")))
+        .withColumn(
+            "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+        )
     )
 
     def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        is_seen = left["is_seen"].to_numpy(dtype=bool)
         hashes = left["url_hash"].to_numpy(dtype=np.int64)
+        front = hashes[~is_seen]
         if right.empty:
-            hit = np.zeros(len(hashes), dtype=bool)
+            confirmed = front[:0]
         else:
             bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
             m = int(right["m_bits"].iloc[0])
             k = int(right["k_hashes"].iloc[0])
-            hit = np.ones(len(hashes), dtype=bool)
-            for pos in _positions(hashes, m, k):
+            hit = np.ones(len(front), dtype=bool)
+            for pos in _positions(front, m, k):
                 hit &= _test_bits(bits, pos)
+            flagged = front[hit]
+            confirmed = flagged[np.isin(flagged, hashes[is_seen])]
         return pd.DataFrame(
-            {"url_hash": hashes[hit], "seen_maybe": np.ones(int(hit.sum()), bool)}
+            {
+                "url_hash": confirmed,
+                "seen_maybe": np.ones(len(confirmed), dtype=bool),
+            }
         )
 
-    flagged = (
-        keyed.groupBy("shard")
+    confirmed_seen = (
+        tagged.groupBy("shard")
         .cogroup(bloom.groupBy("shard"))
         .applyInPandas(probe, schema=_VERDICT_SCHEMA)
         .select("url_hash")
     )
-    confirmed_seen = flagged.join(seen_hashes, "url_hash", "left_semi")
-    return frontier.join(confirmed_seen, "url_hash", "left_anti")
+    return frontier.join(F.broadcast(confirmed_seen), "url_hash", "left_anti")

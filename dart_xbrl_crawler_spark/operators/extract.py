@@ -106,11 +106,31 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
                         stmt = (doc.get("statements") or {}).get(report_type)
                         if not stmt:
                             continue
+                        # wide→long unpivot (xbrl_processor.py:505-745):
+                        # per concept row × tuple-labeled period column.
+                        # Null cells drop here; numeric / zero / NaN /
+                        # period-shape filtering stays vectorized in
+                        # _transform_long.  Duplicate period columns
+                        # emit duplicate cells (reference semantics).
+                        columns = [
+                            (
+                                str(c[0]) if c and len(c) > 0 else "",
+                                str(c[1][0])
+                                if c and len(c) > 1 and c[1]
+                                else "연결재무제표",
+                            )
+                            for c in stmt.get("columns", [])
+                        ]
                         for order_no, concept in enumerate(
-                            stmt.get("concepts", []), start=1
+                            stmt.get("rows", []), start=1
                         ):
-                            facts = concept.get("facts", [])
-                            nf = len(facts)
+                            values = concept.get("values", [])
+                            cells = [
+                                (p, fs, v)
+                                for (p, fs), v in zip(columns, values)
+                                if v is not None
+                            ]
+                            nf = len(cells)
                             if not nf:
                                 continue
                             c_doc.extend([i] * nf)
@@ -122,9 +142,9 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
                             c_c1.extend([str(concept.get("class1", "") or "")] * nf)
                             c_c2.extend([str(concept.get("class2", "") or "")] * nf)
                             c_c3.extend([str(concept.get("class3", "") or "")] * nf)
-                            c_per.extend(str(f.get("period", "")) for f in facts)
-                            c_fs.extend(str(f.get("fs", "")) for f in facts)
-                            c_amt.extend(f.get("amount") for f in facts)
+                            c_per.extend(cell[0] for cell in cells)
+                            c_fs.extend(cell[1] for cell in cells)
+                            c_amt.extend(cell[2] for cell in cells)
         rd = str(rcept_dt) if rcept_dt is not None else ""
         receipt_ymd = (
             f"{rd[:4]}-{rd[4:6]}-{rd[6:8]}"
@@ -442,21 +462,51 @@ def extract_text(pages: DataFrame, run_ts: str) -> DataFrame:
 
 
 def attach_corp_name(facts: DataFrame, corp_map: DataFrame) -> DataFrame:
-    """corp_code → corp_name via broadcast join with the reference's
-    fallback chain (exact → zero-stripped loose match → 'Corp_{code}',
-    xbrl_processor.py:281-306) — normalization done ONCE, in Catalyst."""
-    dim = (
+    """corp_code → corp_name via broadcast joins with the reference's
+    full fallback chain (xbrl_processor.py:281-306):
+
+      1. exact match on the LPAD-8 code (the reference dict keys the raw
+         ``str(corp_code)``; normalize_corp_map lpads, which already
+         absorbs short unpadded keys like '123');
+      2. zero-stripped *loose* match — ``lstrip('0')`` both sides
+         (xbrl_processor.py:296-303; catches keys the lpad can't, e.g.
+         over-long '0000000123').  The reference takes the first dict
+         hit; we pin min(corp_name) for determinism;
+      3. ``Corp_{code}`` default (xbrl_processor.py:305).
+
+    Raw maps with duplicate codes go through normalize_corp_map's
+    pinned min-name dedup, never a nondeterministic dropDuplicates."""
+    from ..sources.corp_map import normalize_corp_map
+
+    dim = normalize_corp_map(corp_map).select(
+        F.col("dart_corp_code").alias("corp_code"),
+        F.col("dart_corp").alias("corp_name"),
+    )
+    # loose dim keyed by the zero-stripped RAW code (pre-lpad, like the
+    # reference's dict keys), deterministic min-name per stripped key
+    loose = (
         corp_map.filter(
             F.col("dart_corp_code").isNotNull() & F.col("dart_corp").isNotNull()
         )
         .select(
-            F.lpad(F.col("dart_corp_code"), 8, "0").alias("corp_code"),
-            F.col("dart_corp").alias("corp_name"),
+            F.regexp_replace(F.col("dart_corp_code"), "^0+", "").alias("_stripped"),
+            F.col("dart_corp").alias("_loose_name"),
         )
-        .dropDuplicates(["corp_code"])
+        .groupBy("_stripped")
+        .agg(F.min("_loose_name").alias("_loose_name"))
     )
-    joined = facts.join(F.broadcast(dim), "corp_code", "left")
+    joined = (
+        facts.join(F.broadcast(dim), "corp_code", "left")
+        .withColumn(
+            "_stripped", F.regexp_replace(F.col("corp_code"), "^0+", "")
+        )
+        .join(F.broadcast(loose), "_stripped", "left")
+    )
     return joined.withColumn(
         "corp_name",
-        F.coalesce(F.col("corp_name"), F.concat(F.lit("Corp_"), F.col("corp_code"))),
-    )
+        F.coalesce(
+            F.col("corp_name"),
+            F.col("_loose_name"),
+            F.concat(F.lit("Corp_"), F.col("corp_code")),
+        ),
+    ).drop("_stripped", "_loose_name")

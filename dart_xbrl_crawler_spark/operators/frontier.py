@@ -2,10 +2,13 @@
 
 Replaces the reference's /tmp sidecars + directory rescans
 (/root/reference/xbrl_batch_processor.py:86-166,
-dart_api_manager.py:543-578) with a snapshot-checkpointed table:
-every round commits one new immutable snapshot; a killed round leaves
-the previous snapshot authoritative, so resume is simply "read latest
-snapshot and go" (idempotent — tested by kill-and-resume).
+dart_api_manager.py:543-578) with a snapshot-checkpointed MERGE table:
+every round appends one immutable DELTA snapshot holding only the rows
+it changed (O(|round|) bytes — never a full-frontier rewrite, which at
+10^10 rows would be the pipeline's scale-killer); readers reconstruct
+state last-wins-by-key, and the chain compacts periodically.  A killed
+round leaves the previous snapshot chain authoritative, so resume is
+simply "read latest and go" (idempotent — tested by kill-and-resume).
 
 States: queued → fetched | failed | robots_blocked;
 new URLs entering the frontier that are already seen → deduped (they
@@ -16,16 +19,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.urls import with_url_canon
-from ..sources.checkpoint import SnapshotTable
+from ..sources.checkpoint import MergeTable, SnapshotTable
 from . import dedup as D
 from . import politeness as P
 
 
 class FrontierStore:
     def __init__(self, path: str, n_bloom_shards: int = 64):
-        self.table = SnapshotTable(path)
+        self.table = MergeTable(path, key="url_hash")
         self.metrics = SnapshotTable(path + "_metrics")
         self.n_bloom_shards = n_bloom_shards
 
@@ -54,39 +58,52 @@ class FrontierStore:
             .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
             .withColumn("partition_salt", F.lit(0))
         )
-        return self.table.commit(frontier, note="bootstrap")
+        return self.table.commit_base(frontier, note="bootstrap")
 
     # -- insert newly-discovered urls (dedup vs whole frontier) ---------
     def insert(
         self, spark: SparkSession, urls: DataFrame, run_ts: str, depth: int = 1
     ) -> tuple[str, int, int]:
         """Dedup incoming urls against the frontier (bloom prefilter +
-        exact anti-join), append survivors as queued.  Returns
-        (snapshot_id, n_inserted, n_deduped)."""
+        shard-aligned exact confirm), append survivors as a queued DELTA
+        (O(|batch|) bytes).  Returns (snapshot_id, n_inserted,
+        n_deduped).
+
+        The batch is persisted once and every count comes off that
+        cache — the round-1 version recomputed the canonicalizer +
+        dedup lineage three times (canon.count, fresh.count, commit)."""
         frontier = self.table.read(spark)
-        canon = with_url_canon(urls).dropDuplicates(["url_hash"])
-        if "seed_rcp_no" not in canon.columns:
-            canon = canon.withColumn("seed_rcp_no", F.lit(None).cast("string"))
-        if "priority" not in canon.columns:
-            canon = canon.withColumn("priority", F.lit(0.0))
-        bloom = D.build_seen_filter(
-            frontier.select("url_hash"), n_shards=self.n_bloom_shards
+        batch = with_url_canon(urls).dropDuplicates(["url_hash"]).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        fresh = D.dedup_urls(canon, frontier, bloom, self.n_bloom_shards)
-        fresh = (
-            fresh.withColumn("depth", F.lit(depth))
-            .withColumn("state", F.lit("queued"))
-            .withColumn("discovered_ts", F.to_timestamp(F.lit(run_ts)))
-            .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
-            .withColumn("partition_salt", F.lit(0))
-            .select(*frontier.columns)
-        )
-        n_in = canon.count()
-        n_fresh = fresh.count()
-        snap = self.table.commit(
-            frontier.unionByName(fresh), note=f"insert depth={depth}"
-        )
-        return snap, n_fresh, n_in - n_fresh
+        try:
+            canon = batch
+            if "seed_rcp_no" not in canon.columns:
+                canon = canon.withColumn("seed_rcp_no", F.lit(None).cast("string"))
+            if "priority" not in canon.columns:
+                canon = canon.withColumn("priority", F.lit(0.0))
+            bloom = D.build_seen_filter(
+                frontier.select("url_hash"), n_shards=self.n_bloom_shards
+            )
+            fresh = (
+                D.dedup_urls(canon, frontier, bloom, self.n_bloom_shards)
+                .withColumn("depth", F.lit(depth))
+                .withColumn("state", F.lit("queued"))
+                .withColumn("discovered_ts", F.to_timestamp(F.lit(run_ts)))
+                .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
+                .withColumn("partition_salt", F.lit(0))
+                .select("url_hash", *[c for c in frontier.columns if c != "url_hash"])
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            n_in = batch.count()
+            n_fresh = fresh.count()
+            snap = self.table.commit_delta(
+                spark, fresh, note=f"insert depth={depth}"
+            )
+            fresh.unpersist()
+            return snap, n_fresh, n_in - n_fresh
+        finally:
+            batch.unpersist()
 
     # -- one crawl round -------------------------------------------------
     def run_round(
@@ -103,10 +120,9 @@ class FrontierStore:
     ) -> tuple[str, DataFrame]:
         """Pop a politeness-bounded batch, 'fetch' it (bytes come from
         the pages table — the sandbox stand-in for HTTP), transition
-        states, commit one snapshot.  Returns (snapshot_id, fetched
-        pages DataFrame ready for the extract stage)."""
-        from pyspark.storagelevel import StorageLevel
-
+        states, commit ONE delta snapshot holding only the touched rows.
+        Returns (snapshot_id, fetched pages DataFrame ready for the
+        extract stage)."""
         frontier = self.table.read(spark)
         queued = frontier.filter(F.col("state") == "queued")
 
@@ -137,7 +153,8 @@ class FrontierStore:
         ok = fetched.filter(F.col("html").isNotNull())
         missing = fetched.filter(F.col("html").isNull())
 
-        # state transitions, append-only MERGE emulation
+        # state transitions → DELTA rows: only the touched frontier rows
+        # are rewritten (append-only MERGE, SURVEY.md §2.9)
         trans = (
             ok.select("url_hash", F.lit("fetched").alias("new_state"))
             .unionByName(
@@ -149,9 +166,9 @@ class FrontierStore:
                 )
             )
         )
-        new_frontier = (
-            frontier.join(trans, "url_hash", "left")
-            .withColumn("state", F.coalesce("new_state", "state"))
+        changed = (
+            frontier.join(trans, "url_hash")  # inner: O(|round|) rows out
+            .withColumn("state", F.col("new_state"))
             .withColumn(
                 "fetch_ts",
                 F.when(
@@ -159,11 +176,16 @@ class FrontierStore:
                 ).otherwise(F.col("fetch_ts")),
             )
             .drop("new_state")
+            .select(*frontier.columns)
         )
+        snap = self.table.commit_delta(spark, changed, note=f"round={round_id}")
 
-        # per-partition lineage counters (north_rule) — cheap, observable
+        # per-partition lineage counters (north_rule) over the merged
+        # post-commit state — cheap count aggregate, no extra write of
+        # frontier rows
+        merged = self.table.read(spark)
         metrics = (
-            new_frontier.groupBy(
+            merged.groupBy(
                 F.lit(round_id).alias("round_id"),
                 F.spark_partition_id().alias("partition_id"),
                 "state",
@@ -172,7 +194,6 @@ class FrontierStore:
             .withColumnRenamed("count", "n")
         )
         self.metrics.commit(metrics, note=f"round={round_id}")
-        snap = self.table.commit(new_frontier, note=f"round={round_id}")
 
         fetched_pages = ok.select(
             "url",

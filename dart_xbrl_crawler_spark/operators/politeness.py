@@ -18,16 +18,176 @@ AQE skew-join handles residual imbalance (session.py enables it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_CRAWL_DELAY_MS = 1000
 
+# ---------------------------------------------------------------------
+# robots.txt parsing (REP, RFC 9309): user-agent groups, multiple
+# Allow/Disallow lines, longest-path-match precedence (Allow wins ties),
+# crawl-delay.  The reference has no robots handling at all — its
+# analog is the hard-coded report-name filter + global sleep
+# (dart_api_manager.py:298-326, 44-46).
+# ---------------------------------------------------------------------
+
+ROBOTS_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField(
+            "rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("prefix", T.StringType(), False),
+                        T.StructField("allow", T.BooleanType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("crawl_delay_ms", T.LongType(), True),
+    ]
+)
+
+
+def parse_robots_txt(
+    text: str, user_agent: str = "dart-xbrl-crawler"
+) -> tuple[list[tuple[str, bool]], int | None]:
+    """robots.txt body → ([(path_prefix, allow)], crawl_delay_ms|None).
+
+    Group selection per RFC 9309 §2.2.1: the group whose user-agent
+    token is the LONGEST match for our product token wins; ``*`` is the
+    fallback.  Empty Disallow means allow-all (dropped).  Crawl-delay
+    is read from the chosen group (de-facto extension, seconds)."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay, in_group_body
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        in_group_body = False
+
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                flush()
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:  # empty Disallow = allow everything = no rule
+                cur_rules.append((value, field == "allow"))
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+    flush()
+
+    best: tuple[int, list[tuple[str, bool]], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a in ua:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules, delay)
+    if best is None:
+        return [], None
+    delay_ms = int(best[2] * 1000) if best[2] is not None else None
+    return best[1], delay_ms
+
+
+def robots_rules_from_txt(
+    spark: SparkSession,
+    robots_txt: DataFrame,
+    user_agent: str = "dart-xbrl-crawler",
+) -> DataFrame:
+    """(host, robots_txt) → rules dim matching ROBOTS_RULES_SCHEMA.
+    Tiny-dim path: parsing runs in a pandas UDF batch; the result is
+    broadcast by apply_robots."""
+    import pandas as pd
+
+    def parse(it):
+        for pdf in it:
+            hosts, rules_col, delays = [], [], []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                rules, delay = parse_robots_txt(txt or "", user_agent)
+                hosts.append(host)
+                rules_col.append(
+                    [{"prefix": p, "allow": a} for p, a in rules]
+                )
+                delays.append(delay)
+            yield pd.DataFrame(
+                {"host": hosts, "rules": rules_col, "crawl_delay_ms": delays}
+            )
+
+    return robots_txt.mapInPandas(parse, schema=ROBOTS_RULES_SCHEMA)
+
+
+def _eval_rules(path):
+    """Longest-match REP evaluation as ONE Catalyst expression over the
+    broadcast rules array — no row multiplication, no UDF.  Struct
+    max-ordering on (prefix_length, allow) makes Allow win exact-length
+    ties, per Google/RFC-9309 semantics."""
+    matched = F.filter(
+        F.col("rules"), lambda r: path.startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return F.when(best.isNotNull(), ~best["allow"]).otherwise(F.lit(False))
+
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Mark rows blocked by robots rules: host fully blocked
-    (disallow_prefix='/') or url path under the disallowed prefix.
-    robots is a tiny dim → broadcast join.  Adds ``robots_blocked``."""
+    """Mark rows blocked by robots rules; adds ``robots_blocked`` and
+    ``crawl_delay_ms``.  robots is a tiny dim → broadcast join.
+
+    Accepts either dim shape:
+      * parsed-rules dim (host, rules array<struct<prefix,allow>>,
+        crawl_delay_ms) from robots_rules_from_txt — full REP
+        longest-match semantics;
+      * legacy single-prefix dim (host, disallow_prefix,
+        crawl_delay_ms) — treated as one Disallow rule."""
+    path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
+    if "rules" in robots.columns:
+        dim = robots.select(
+            "host",
+            "rules",
+            F.coalesce("crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)).alias(
+                "crawl_delay_ms"
+            ),
+        )
+        joined = frontier.join(F.broadcast(dim), "host", "left")
+        blocked = F.when(
+            F.col("rules").isNotNull(), _eval_rules(path)
+        ).otherwise(F.lit(False))
+        return joined.withColumn("robots_blocked", blocked).withColumn(
+            "crawl_delay_ms",
+            F.coalesce("crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)),
+        ).drop("rules")
     rules = robots.select(
         "host",
         "disallow_prefix",
@@ -36,7 +196,6 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         ),
     )
     joined = frontier.join(F.broadcast(rules), "host", "left")
-    path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
     blocked = F.col("disallow_prefix").isNotNull() & path.startswith(
         F.col("disallow_prefix")
     )
@@ -54,6 +213,7 @@ def pop_round(
     round_ms: int = 60_000,
     salt_buckets: int = 32,
     max_per_host: int | None = None,
+    exact_rank_max: int = 100_000,
 ) -> DataFrame:
     """Select this round's fetch set.
 
@@ -74,59 +234,96 @@ def pop_round(
     # Per-host candidate counts: hosts whose whole queue fits the budget
     # (the common case, including under-filled giant hosts) BYPASS
     # ranking entirely — Amdahl's law otherwise pins the round on the
-    # one task that sorts the giant host.
+    # one task that sorts the giant host.  counts is one row per host →
+    # always broadcast.
     counts = (
         gated.filter(~F.col("robots_blocked"))
         .groupBy("host")
         .agg(F.count("*").alias("_n_cand"))
     )
-    gated = gated.join(counts, "host", "left").withColumn(
+    gated = gated.join(F.broadcast(counts), "host", "left").withColumn(
         "_n_cand", F.coalesce("_n_cand", F.lit(0))
     )
+    over = F.col("_n_cand") > F.col("_budget")
 
-    # Over-budget hosts rank in two phases:
-    #   phase 1 — window over (host, salt): any row in the true global
-    #   top-k of its host has <k rows above it, hence <k above it in its
-    #   own salt bucket → salt-rank ≤ k.  Skew-free (salt spreads the
-    #   giant host over `salt_buckets` tasks) and cuts survivors to
-    #   ≤ budget·salt_buckets per host.
-    #   phase 2 — exact window over (host) on survivors only.
+    # The frame splits BEFORE any window — windows only ever touch
+    # over-budget hosts' candidates:
+    #   bypass branch — under-budget hosts (and every robots-blocked
+    #   row): no ranking work at all.  host_rank is null here: a rank
+    #   was never computed (the old salt-bucket pseudo-rank was
+    #   misleading), and nothing downstream consumes it.
+    #   ranked branch — phase 1: window over (host, salt): any row in
+    #   the true global top-k of its host has <k rows above it, hence
+    #   <k above it in its own salt bucket → salt-rank ≤ k.  Skew-free
+    #   (salt spreads the giant host over `salt_buckets` tasks) and
+    #   cuts survivors to ≤ budget·salt_buckets per host.
+    #   phase 2 — exact window over (host) on phase-1 survivors only, a
+    #   linear continuation of the same pipeline (no join-back, no
+    #   full-frame re-sort).  A when()-guarded window over the full
+    #   frame instead would sort every bypass host's whole queue into
+    #   one task (the giant host = one straggler; measured as the
+    #   8→32-core anti-scaling culprit).
+    #   quota branch — over-budget hosts whose budget EXCEEDS
+    #   exact_rank_max: ranking millions of rows per host would funnel
+    #   the phase-2 sort into one task however it's expressed (k-sized
+    #   sorts don't salt).  A politeness budget is a capacity bound,
+    #   not an exact-order contract at that magnitude, so each salt
+    #   bucket gets an equal slot quota (⌊budget/S⌋, remainder spread
+    #   one-per-bucket to salts < budget%S — deterministic), selection
+    #   is bucket-local rank ≤ quota, and host_rank stays null (no
+    #   global rank was computed).  With hash-uniform salting every
+    #   bucket holds ≥ quota candidates whenever n_cand exceeds the
+    #   budget by the multinomial deviation, so the host pops exactly
+    #   its budget; the constraint ≤ budget holds unconditionally.
+    null_rank = F.lit(None).cast("int")
+    bypass = gated.filter(~over | F.col("robots_blocked")).select(
+        *gated.columns,
+        (~F.col("robots_blocked")).alias("selected"),
+        null_rank.alias("host_rank"),
+    )
+
+    cand = gated.filter(over & ~F.col("robots_blocked"))
     order = [
-        F.col("robots_blocked").asc(),
         F.col("priority").desc(),
         F.col("discovered_ts").asc(),
         F.col("url_hash").asc(),
     ]
     w1 = Window.partitionBy("host", "partition_salt").orderBy(*order)
-    ranked = gated.withColumn("_rn1", F.row_number().over(w1))
+    ranked = cand.withColumn("_rn1", F.row_number().over(w1))
 
-    over = F.col("_n_cand") > F.col("_budget")
+    quota_mode = F.col("_budget") > F.lit(exact_rank_max)
+    s = F.lit(salt_buckets)
+    quota = F.floor(F.col("_budget") / s) + F.when(
+        F.col("partition_salt") < F.pmod(F.col("_budget"), s), F.lit(1)
+    ).otherwise(F.lit(0))
+    quota_rows = ranked.filter(quota_mode).select(
+        *gated.columns,
+        (F.col("_rn1") <= quota).alias("selected"),
+        null_rank.alias("host_rank"),
+    )
+
+    exact = ranked.filter(~quota_mode)
+    losers = exact.filter(F.col("_rn1") > F.col("_budget")).select(
+        *gated.columns,
+        F.lit(False).alias("selected"),
+        null_rank.alias("host_rank"),
+    )
     w2 = Window.partitionBy("host").orderBy(*order)
-    # phase-2 rank computed only where it can matter; survivors of
-    # phase 1 elsewhere get null and fall through to the bypass rule
-    need2 = over & (F.col("_rn1") <= F.col("_budget")) & ~F.col("robots_blocked")
-    ranked = ranked.withColumn(
-        "_rn2",
-        F.when(
-            need2,
-            F.row_number().over(
-                Window.partitionBy("host", need2.cast("int")).orderBy(*order)
-            ),
-        ),
+    surv = (
+        exact.filter(F.col("_rn1") <= F.col("_budget"))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .select(
+            *gated.columns,
+            (F.col("_rn2") <= F.col("_budget")).alias("selected"),
+            F.col("_rn2").cast("int").alias("host_rank"),
+        )
     )
-    selected = (~F.col("robots_blocked")) & F.coalesce(
-        F.when(over, F.col("_rn2") <= F.col("_budget")).otherwise(F.lit(True)),
-        F.lit(False),  # over-budget non-survivors have null _rn2
-    )
-    host_rank = F.when(
-        F.col("robots_blocked"), F.lit(None).cast("int")
-    ).otherwise(
-        F.when(over, F.col("_rn2")).otherwise(F.col("_rn1")).cast("int")
-    )
+
     return (
-        ranked.withColumn("selected", selected)
-        .withColumn("host_rank", host_rank)
-        .drop("_rn1", "_rn2", "_n_cand", "_budget", "disallow_prefix")
+        bypass.unionByName(quota_rows)
+        .unionByName(losers)
+        .unionByName(surv)
+        .drop("_n_cand", "_budget", "disallow_prefix")
     )
 
 

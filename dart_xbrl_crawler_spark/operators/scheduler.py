@@ -25,11 +25,24 @@ def periodic_pred():
     ).rlike(r"\((\d{4})\.(\d{2})\)")
 
 
+_RANK_BUCKET = 1 << 14  # corps per cumsum bucket
+
+
 def reference_schedule(
     seeds: DataFrame, per_corp_cap: int = 5, page_size: int = 100
 ) -> DataFrame:
     """seeds → (rcept_no, corp_code, rcept_dt, visit_rank), in the
-    reference's exact visit order (corp-major, date-desc, capped)."""
+    reference's exact visit order (corp-major, date-desc, capped).
+
+    visit_rank is assigned WITHOUT a global window over the seed-level
+    table (Window.orderBy() with no partition key serializes the whole
+    seed list into one task — a straggler at a 10^8-seed bootstrap).
+    Instead: per-corp disc_rank (salt-free window, corps are the
+    partition key) + per-corp cumulative offsets via a two-level
+    bucketed cumsum — intra-bucket window partitioned by bucket, then
+    one tiny unpartitioned cumsum over the ≤|corps|/2^14-row bucket
+    totals.  visit_rank = offset(corp) + disc_rank, identical to the
+    old global row_number."""
     periodic = seeds.filter(periodic_pred())
 
     # corps visit in first-appearance order of the seed list
@@ -45,15 +58,37 @@ def reference_schedule(
         .filter(F.col("disc_rank") <= min(per_corp_cap, page_size))
     )
 
-    ordered = capped.join(F.broadcast(corp_rank), "corp_code")
-    wg = Window.orderBy(
-        F.col("corp_rank").asc(),
-        F.col("rcept_dt").desc(),
-        F.col("rcept_no").desc(),
+    # per-corp capped counts → cumulative offsets (two-level cumsum)
+    counts = capped.groupBy("corp_code").agg(F.count("*").alias("_n")).join(
+        corp_rank, "corp_code"
+    ).withColumn("_bucket", F.floor(F.col("corp_rank") / _RANK_BUCKET))
+    w_intra = (
+        Window.partitionBy("_bucket")
+        .orderBy("corp_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return ordered.withColumn("visit_rank", F.row_number().over(wg)).select(
-        "rcept_no", "corp_code", "report_nm", "rcept_dt", "visit_rank"
+    counts = counts.withColumn(
+        "_intra", F.coalesce(F.sum("_n").over(w_intra), F.lit(0))
     )
+    bucket_tot = counts.groupBy("_bucket").agg(F.sum("_n").alias("_bn"))
+    w_bucket = (
+        Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # unpartitioned, but over ≤ |corps|/2^14 aggregate rows — never seeds
+    bucket_off = bucket_tot.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(w_bucket), F.lit(0))
+    )
+    offsets = (
+        counts.join(F.broadcast(bucket_off), "_bucket")
+        .select(
+            "corp_code",
+            (F.col("_boff") + F.col("_intra")).alias("_offset"),
+        )
+    )
+
+    ordered = capped.join(F.broadcast(offsets), "corp_code")
+    return ordered.withColumn(
+        "visit_rank", (F.col("_offset") + F.col("disc_rank")).cast("int")
+    ).select("rcept_no", "corp_code", "report_nm", "rcept_dt", "visit_rank")
 
 
 def seeds_to_frontier(

@@ -108,7 +108,15 @@ def parse_mini_xbrl(html: bytes) -> tuple[str | None, dict | None]:
     """Open the in-memory ZIP, find the first ``entity{8}_*.xbrl``
     member, parse its JSON body.  Returns (corp_code, doc) or
     (None, None) on any failure (corrupt ZIP, no member, bad JSON) —
-    the failure row becomes state='failed' upstream."""
+    the failure row becomes state='failed' upstream.
+
+    Document format ``mini-xbrl-2`` is a WIDE matrix, mirroring the
+    reference's pandas frame (tuple-labeled period columns,
+    xbrl_processor.py:458-503): per statement,
+      columns: [[date_str, [fs_str]], ...]   # may repeat, may be junk
+      rows:    [{concept_id, label_ko, label_en, class1..3,
+                 values: [cell per column]}, ...]
+    The kernel's job is the wide→long unpivot (xbrl_processor.py:505-745)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(html))
         names = sorted(n for n in zf.namelist() if n.endswith(".xbrl"))
@@ -118,7 +126,7 @@ def parse_mini_xbrl(html: bytes) -> tuple[str | None, dict | None]:
         m = _ENTITY_RE.search(member)
         corp_code = m.group(1) if m else None
         doc = json.loads(zf.read(member).decode("utf-8"))
-        if doc.get("doc_format") != "mini-xbrl-1":
+        if doc.get("doc_format") != "mini-xbrl-2":
             return None, None
         return corp_code, doc
     except Exception:
@@ -163,24 +171,34 @@ def extract_facts_rowwise(
         stmt = statements.get(report_type)
         if not stmt:
             continue
+        # -- wide→long unpivot (xbrl_processor.py:505-745): walk each
+        # concept row × each tuple-labeled period column.  The reference
+        # checks numeric-nonzero FIRST, then the column's date shape;
+        # a malformed column label silently drops its cells, and a
+        # DUPLICATE period column emits duplicate rows (no dedup).
+        columns = [
+            (str(c[0]) if c and len(c) > 0 else "",
+             str(c[1][0]) if c and len(c) > 1 and c[1] else "연결재무제표")
+            for c in stmt.get("columns", [])
+        ]
         order_no = 0
-        for concept in stmt.get("concepts", []):
+        for concept in stmt.get("rows", []):
             order_no += 1  # 1-based source order (xbrl_processor.py:403)
-            for fact in concept.get("facts", []):
-                raw = str(fact.get("period", ""))
-                if not _PERIOD_RE.match(raw):
+            values = concept.get("values", [])
+            for (raw, fs), amt in zip(columns, values):
+                if amt is None:
                     continue
-                amt = fact.get("amount")
                 try:
                     amount = float(amt)
                 except (TypeError, ValueError):
                     continue
                 if amount != amount or amount == 0.0:  # NaN or zero drop
                     continue
+                if not _PERIOD_RE.match(raw):
+                    continue  # column label isn't a period → not data
                 period = format_period(raw)
                 if needle not in period:
                     continue
-                fs = str(fact.get("fs", ""))
                 fs_type = "연결" if "연결" in fs else "별도"
                 rows.append(
                     {

@@ -610,17 +610,21 @@ def q22(spark, sf):
 @query(
     "q23_salted_agg",
     """
-    SELECT host, SUM(n) AS n_events, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    SELECT host, CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
     FROM (
       SELECT CASE WHEN event_id % 10 < 6 THEN 'giant.host'
                   ELSE 'h' || CAST(user_id % 5 AS VARCHAR) END AS host,
              event_id % 8 AS salt, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
       FROM events GROUP BY host, salt)
     GROUP BY host
     """,
 )
 def q23(spark, sf):
+    # decimal end-to-end through both aggregation levels (exact on both
+    # engines); ONE double cast at the very end — re-rounding a double
+    # through decimal twice has engine-specific tie behavior.
     e = _t(spark, sf, "events")
     host = F.when(F.col("event_id") % 10 < 6, "giant.host").otherwise(
         F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))
@@ -628,9 +632,78 @@ def q23(spark, sf):
     partial = (
         e.select(host.alias("host"), (F.col("event_id") % 8).alias("salt"), "value")
         .groupBy("host", "salt")
-        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
     )
     return partial.groupBy("host").agg(
         F.sum("n").alias("n_events"),
-        _dsum(F.col("v")).alias("total_value"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+# robots.txt REP evaluation (multi-rule, longest-match, Allow wins
+# ties) against a DuckDB window-function oracle — value-level evidence
+# for the rules matcher in operators/politeness.py
+@query(
+    "q44_robots_eval",
+    """
+    WITH urls AS (
+      SELECT DISTINCT 'h' || CAST(o_custkey % 5 AS VARCHAR) AS host,
+             '/p' || CAST(o_custkey % 4 AS VARCHAR) || '/'
+                  || CAST(o_custkey AS VARCHAR) AS path
+      FROM orders),
+    rules(host, prefix, allow) AS (VALUES
+      ('h0', '/p1', FALSE), ('h0', '/p1/1', TRUE), ('h0', '/p3', FALSE),
+      ('h1', '/', FALSE),
+      ('h2', '/p2', FALSE), ('h2', '/p2/', TRUE)),
+    m AS (
+      SELECT u.host, u.path, r.prefix, r.allow
+      FROM urls u LEFT JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)),
+    best AS (
+      SELECT host, path, allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY host, path
+               ORDER BY (prefix IS NULL) ASC, length(prefix) DESC,
+                        allow DESC) AS rk
+      FROM m),
+    verdict AS (
+      SELECT host, CASE WHEN allow IS NULL THEN FALSE ELSE NOT allow END
+               AS blocked
+      FROM best WHERE rk = 1)
+    SELECT host, blocked, COUNT(*) AS n
+    FROM verdict GROUP BY host, blocked
+    """,
+)
+def q44(spark, sf):
+    from ..functions.urls import with_url_canon
+    from ..operators.politeness import ROBOTS_RULES_SCHEMA, apply_robots
+
+    o = _t(spark, sf, "orders")
+    urls = o.select(
+        F.concat(
+            F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
+            F.lit(".ex/p"), (F.col("o_custkey") % 4).cast("string"),
+            F.lit("/"), F.col("o_custkey").cast("string"),
+        ).alias("url")
+    ).distinct()
+    rules = spark.createDataFrame(
+        [
+            ("h0.ex", [("/p1", False), ("/p1/1", True), ("/p3", False)], None),
+            ("h1.ex", [("/", False)], None),
+            ("h2.ex", [("/p2", False), ("/p2/", True)], None),
+        ],
+        schema=ROBOTS_RULES_SCHEMA,
+    )
+    frontier = with_url_canon(urls)
+    out = apply_robots(frontier, rules)
+    return (
+        out.select(
+            F.regexp_replace("host", r"\.ex$", "").alias("host"),
+            F.col("robots_blocked").alias("blocked"),
+        )
+        .groupBy("host", "blocked")
+        .agg(F.count("*").alias("n"))
     )

@@ -116,7 +116,8 @@ def q26(spark, sf):
     "q27_token_count",
     """
     SELECT lang,
-           SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS total_tokens,
+           CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS BIGINT)
+             AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -157,15 +158,20 @@ def q28(spark, sf):
     """
     SELECT doc_id, COUNT(DISTINCT substr(text, i, 3)) AS n_shingles
     FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 2, 0) + 1)) AS t(i)
-    WHERE doc_id % 10 = 0
+    WHERE doc_id % 10 = 0 AND LENGTH(text) >= 3
     GROUP BY doc_id
     """,
 )
 def q29(spark, sf):
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    # length>=3 on BOTH sides: a shorter text has no full 3-gram — the
+    # SQL's UNNEST emits no row for it while greatest(length-2, 1)
+    # would emit one truncated shingle (latent parity flake).
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 3)
+    )
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            F.sequence(F.lit(1), F.length("text") - 2),
             lambda i: F.substring(F.col("text"), i, F.lit(3)),
         )
     )
@@ -295,12 +301,11 @@ def minhash_signatures(d: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-@query("q30_minhash_lsh", None)
-def q30(spark, sf):
-    # single-file parquet reads come in as ONE partition — spread the
-    # shingle explode across cores before the heavy work
-    par = spark.sparkContext.defaultParallelism
-    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
+def minhash_lsh_candidates(d: DataFrame) -> DataFrame:
+    """(a_id, b_id, jaccard_est) banded-LSH candidate pairs over
+    d(doc_id, text).  Never all-pairs: docs meet only via equal band
+    buckets (8 bands × 4 rows), and the pair join is keyed on
+    (band, bucket)."""
     sigs = minhash_signatures(d)
     per_band = N_MINHASH // N_BANDS
     band_structs = [
@@ -348,51 +353,148 @@ def q30(spark, sf):
     return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
 
 
-# =====================================================================
-# SimHash (rows-only): 64-bit signature from token hashes, hamming
-# distance between consecutive docs as a smoke surface
-# =====================================================================
-@query("q31_simhash", None)
-def q31(spark, sf):
-    # relational simhash: explode distinct tokens → per-doc majority
-    # vote per bit as 16 SUM aggregates (same explode-don't-nest rule
-    # as minhash)
+@query("q30_minhash_lsh", None)
+def q30(spark, sf):
+    # single-file parquet reads come in as ONE partition — spread the
+    # shingle explode across cores before the heavy work
     par = spark.sparkContext.defaultParallelism
     d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
-    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-    ex = d.select("doc_id", F.explode(toks).alias("tok")).withColumn(
-        "th", F.xxhash64("tok")
-    )
+    return minhash_lsh_candidates(d)
+
+
+# =====================================================================
+# SimHash (rows-only): 16-bit token-majority signature + hamming-band
+# candidate pairing — a signature alone dedups nothing
+# =====================================================================
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # 4 bands × 4 bits: hamming ≤ 3 ⇒ ≥1 untouched band
+
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash16): relational simhash — explode distinct
+    tokens → per-doc majority vote per bit as 16 SUM aggregates (same
+    explode-don't-nest rule as minhash)."""
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
     aggs = [F.count("*").alias("n_tok")] + [
         F.sum(
             F.when(F.col("th").bitwiseAND(F.lit(int(2**i))) != 0, 1).otherwise(0)
         ).alias(f"b{i}")
-        for i in range(16)
+        for i in range(SIMHASH_BITS)
     ]
     per_doc = ex.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for i in range(16):
+    for i in range(SIMHASH_BITS):
         sim = sim + F.when(
             F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(int(2**i)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", sim.alias("simhash16"))
 
 
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a_id, b_id, hamming) near-dup pairs from simhash signatures.
+
+    Pigeonhole banding: split the 16 bits into 4 bands of 4; any pair
+    with hamming ≤ 3 differs in at most 3 bands, so it collides on at
+    least one band bucket — candidates come from equality joins on
+    (band, band_bits), NEVER an all-pairs product.  The exact hamming
+    distance (bit_count of xor) then filters candidates."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash16"), b * 4).bitwiseAND(F.lit(0xF)).alias(
+                "band_bits"
+            ),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        "simhash16",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "simhash16", "bb.band", "bb.band_bits")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash16").alias("a_sig"),
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash16").alias("b_sig"),
+        "band",
+        "band_bits",
+    )
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("q31_simhash", None)
+def q31(spark, sf):
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
+    return simhash_signatures(d)
+
+
+@query("q43_simhash_pairs", None)
+def q43(spark, sf):
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par)
+    return simhash_pairs(simhash_signatures(d))
+
+
 # =====================================================================
 # ANN via LSH bucketing (rows-only): random-hyperplane sign bits →
 # bucket join vs the brute-force scan path
 # =====================================================================
-@query("q33_ann_lsh", None)
-def q33(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
-    qv = [float(x) for x in qrow["embedding"]]
-    # deterministic pseudo-random hyperplanes from the dimension index
+def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic DECORRELATED hyperplanes.  (A smooth family like
+    sin(a·p + b·i) yields nearly-parallel planes — measured recall 0.0
+    at radius 1 on the test corpus; large-stride sine hashing behaves
+    like seeded Gaussian planes.)"""
     import math
 
-    planes = [
-        [math.sin(0.7 * p + 0.13 * i) for i in range(len(qv))] for p in range(8)
+    return [
+        [
+            math.sin((p * 7919 + i * 104729 + 1) * 12.9898)
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
     ]
+
+
+def ann_sign_lsh(
+    e: DataFrame,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors of the min-vec_id query vector
+    via sign-LSH bucketing + multi-probe.
+
+    Scale path: each vector hashes to one of 2^n_planes buckets (a
+    single Catalyst expression — no UDF); only vectors in the query's
+    bucket or its hamming ≤ probe_radius neighbors are scored.  radius 2
+    probes 1+n+n(n-1)/2 of 2^n buckets (37/256 at n=8).  Multi-probe is
+    load-bearing: a true neighbor that sits near any hyperplane flips
+    that sign bit, so the exact bucket alone has a recall cliff.
+    Recall is corpus-dependent: this engine's test corpus has top-10
+    cosine ≈ 0.3 (≈72° — sign agreement per plane only 0.6), where NO
+    sub-linear index is near-exact; on genuinely near-duplicate vectors
+    (cosine ≥ 0.9) the same index recalls ≥ 0.8 (planted-pair test)."""
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    planes = _lsh_planes(n_planes, len(qv))
 
     def sign_bits(col):
         bits = []
@@ -412,16 +514,24 @@ def q33(spark, sf):
             out = out + b
         return out
 
-    q_bucket = None
-    acc = 0
+    q_bucket = 0
     for p, plane in enumerate(planes):
-        s = sum(x * w for x, w in zip(qv, plane))
-        acc += 2**p if s >= 0 else 0
-    q_bucket = acc
+        if sum(x * w for x, w in zip(qv, plane)) >= 0:
+            q_bucket += 2**p
 
+    probes = {q_bucket}
+    if probe_radius >= 1:
+        probes |= {q_bucket ^ (1 << p) for p in range(n_planes)}
+    if probe_radius >= 2:
+        probes |= {
+            q_bucket ^ (1 << p) ^ (1 << r)
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        }
     bucketed = e.withColumn("bucket", sign_bits(F.col("embedding")))
     cand = bucketed.filter(
-        (F.col("bucket") == q_bucket) & (F.col("vec_id") != qrow["vec_id"])
+        F.col("bucket").isin(sorted(probes))
+        & (F.col("vec_id") != qrow["vec_id"])
     )
     qv_col = F.array(*[F.lit(x) for x in qv])
     return (
@@ -431,8 +541,13 @@ def q33(spark, sf):
             F.round(_cosine(F.col("embedding"), qv_col), 4).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-        .limit(10)
+        .limit(k)
     )
+
+
+@query("q33_ann_lsh", None)
+def q33(spark, sf):
+    return ann_sign_lsh(_t(spark, sf, "embeddings"))
 
 
 # =====================================================================
@@ -442,12 +557,14 @@ def q33(spark, sf):
     "q35_sessionize",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+           CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
     FROM (
       SELECT user_id,
-             date_diff('second',
-                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                       ts) AS gap_s
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
       FROM events WHERE user_id % 100 = 0)
     GROUP BY user_id
     """,

@@ -19,6 +19,16 @@ from pyspark.sql import SparkSession
 _ARROW_MAX_RECORDS = "2048"
 
 
+def _local_dir() -> str:
+    """Prefer tmpfs for shuffle/spill scratch; fall back to the system
+    temp dir."""
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark_local"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "dart_xbrl_crawler_spark",
     cores: int | None = None,
@@ -62,6 +72,12 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "spark_warehouse"),
         )
+        # shuffle/spill files on tmpfs when available: the sandbox's /tmp
+        # sits on a ~270 MB/s virtual disk that serializes 32 concurrent
+        # shuffle writers (measured: the whole crawl round anti-scaled
+        # 8→32 cores on disk I/O).  On a real cluster local dirs are
+        # NVMe; tmpfs is the local-mode equivalent.
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -48,15 +48,16 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1]["id"] if snaps else None
 
-    def commit(self, df: DataFrame, note: str = "") -> str:
+    def commit(self, df: DataFrame, note: str = "", kind: str = "base") -> str:
         """Write df as a new immutable snapshot; atomically publish it.
-        Returns the snapshot id."""
+        ``kind`` is "base" (full table image) or "delta" (changed rows
+        only — see MergeTable).  Returns the snapshot id."""
         snaps = self.snapshots()
         seq = len(snaps)
         snap_id = f"snap-{seq:06d}-{uuid.uuid4().hex[:8]}"
         snap_dir = os.path.join(self.path, snap_id)
         df.write.mode("overwrite").parquet(snap_dir)
-        entry = {"id": snap_id, "seq": seq, "note": note}
+        entry = {"id": snap_id, "seq": seq, "note": note, "kind": kind}
         self._publish(snaps + [entry])
         return snap_id
 
@@ -86,6 +87,115 @@ class SnapshotTable:
         else:
             raise KeyError(f"unknown snapshot {snapshot_id}")
         self._publish(keep)
+
+
+class MergeTable:
+    """MERGE-INTO semantics over SnapshotTable: base images + append-only
+    delta snapshots, last-wins-by-key reconstruction on read, periodic
+    compaction.
+
+    This is the scale-critical difference from full-rewrite snapshots
+    (SURVEY.md §2.9): a crawl round touches |round| rows of a 10^10-row
+    frontier, so the round commit must write O(|round|) bytes, not
+    O(|frontier|).  Readers merge base+deltas with one last-wins
+    aggregate per key — at scale the frontier is stored bucketed by
+    pmod(url_hash, B) (Iceberg ``bucket(url_hash)`` hidden partitioning)
+    and that merge needs no shuffle; compaction folds deltas back into a
+    new base every ``compact_every`` deltas to bound read amplification.
+    """
+
+    def __init__(self, path: str, key: str = "url_hash", compact_every: int = 16):
+        self.table = SnapshotTable(path)
+        self.key = key
+        self.compact_every = compact_every
+
+    # -- commits ---------------------------------------------------------
+    def commit_base(self, df: DataFrame, note: str = "") -> str:
+        return self.table.commit(df, note=note, kind="base")
+
+    def commit_delta(self, spark: SparkSession, df: DataFrame, note: str = "") -> str:
+        """Append changed/new FULL rows (same schema as base); last
+        write wins per key.  Auto-compacts when the delta chain exceeds
+        ``compact_every``."""
+        snap = self.table.commit(df, note=note, kind="delta")
+        if len(self._deltas_since_base()) > self.compact_every:
+            self.compact(spark, note=f"auto-compact after {note}")
+        return snap
+
+    def _deltas_since_base(self) -> list[dict]:
+        snaps = self.table.snapshots()
+        out: list[dict] = []
+        for s in snaps:
+            if s.get("kind", "base") == "base":
+                out = []
+            else:
+                out.append(s)
+        return out
+
+    def _latest_base(self) -> dict | None:
+        base = None
+        for s in self.table.snapshots():
+            if s.get("kind", "base") == "base":
+                base = s
+        return base
+
+    # -- read (merge-on-read) ---------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current state: base ∪ deltas, last-wins per key by commit
+        sequence (``max_by`` aggregate — one hash shuffle on the key;
+        zero-shuffle when the table is bucketed on the key)."""
+        from pyspark.sql import functions as F
+
+        base = self._latest_base()
+        if base is None:
+            raise FileNotFoundError(f"no base snapshot at {self.table.path}")
+        parts = [
+            self.table.read(spark, base["id"]).withColumn(
+                "_seq", F.lit(int(base["seq"]))
+            )
+        ]
+        for s in self._deltas_since_base():
+            parts.append(
+                self.table.read(spark, s["id"]).withColumn(
+                    "_seq", F.lit(int(s["seq"]))
+                )
+            )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        if len(parts) == 1:
+            return allp.drop("_seq")
+        cols = [c for c in allp.columns if c != "_seq" and c != self.key]
+        merged = allp.groupBy(self.key).agg(
+            *[
+                F.max_by(F.col(c), F.col("_seq")).alias(c)
+                for c in cols
+            ]
+        )
+        return merged.select(self.key, *cols)
+
+    def compact(self, spark: SparkSession, note: str = "compact") -> str:
+        """Fold base+deltas into a fresh base snapshot."""
+        return self.commit_base(self.read(spark), note=note)
+
+    # -- snapshot surface (time travel works on the delta chain too:
+    # rollback truncates the manifest; read() then merges the latest
+    # base at-or-before the cut with the deltas after it) -------------
+    def snapshots(self) -> list[dict]:
+        return self.table.snapshots()
+
+    def rollback_to(self, snapshot_id: str) -> None:
+        self.table.rollback_to(snapshot_id)
+
+    def snapshot_bytes(self, snapshot_id: str) -> int:
+        """On-disk size of one snapshot (test/observability surface for
+        the O(|round|)-bytes-per-commit invariant)."""
+        d = os.path.join(self.table.path, snapshot_id)
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(d)
+            for f in files
+        )
 
 
 def iceberg_available(spark: SparkSession) -> bool:
