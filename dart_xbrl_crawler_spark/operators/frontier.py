@@ -28,10 +28,39 @@ from . import politeness as P
 
 
 class FrontierStore:
-    def __init__(self, path: str, n_bloom_shards: int = 64):
+    """``expected_keys`` fixes the Bloom bitmap sizing for the table's
+    lifetime so per-insert filters OR-merge with the stored one (same
+    m_bits per shard) — the filter is a durable artifact built
+    incrementally from each batch, never rebuilt from the full frontier
+    (at 10^10 rows a rebuild is a full scan per insert).  Exactness
+    never depends on it: an overgrown filter only raises fpp, and every
+    flagged hash is exactly confirmed in the shard cogroup."""
+
+    def __init__(
+        self,
+        path: str,
+        n_bloom_shards: int = 64,
+        expected_keys: int = 1 << 22,
+    ):
         self.table = MergeTable(path, key="url_hash")
         self.metrics = SnapshotTable(path + "_metrics")
+        self.bloom = SnapshotTable(path + "_bloom")
         self.n_bloom_shards = n_bloom_shards
+        self.expected_keys = expected_keys
+
+    def _commit_bloom_batch(
+        self, spark: SparkSession, hashes: DataFrame, note: str
+    ) -> None:
+        batch = D.build_seen_filter(
+            hashes,
+            n_shards=self.n_bloom_shards,
+            expected_keys=self.expected_keys,
+        )
+        if self.bloom.snapshots():
+            merged = D.merge_seen_filters(self.bloom.read(spark), batch)
+        else:
+            merged = batch
+        self.bloom.commit(merged, note=note)
 
     # -- bootstrap -----------------------------------------------------
     def bootstrap(self, urls: DataFrame, run_ts: str) -> str:
@@ -58,7 +87,18 @@ class FrontierStore:
             .withColumn("fetch_ts", F.lit(None).cast("timestamp"))
             .withColumn("partition_salt", F.lit(0))
         )
-        return self.table.commit_base(frontier, note="bootstrap")
+        # bloom first (see insert() for the ordering argument); persist:
+        # the canonicalizer UDF lineage feeds both the bloom build and
+        # the base commit
+        frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            spark = urls.sparkSession
+            self._commit_bloom_batch(
+                spark, frontier.select("url_hash"), "bootstrap"
+            )
+            return self.table.commit_base(frontier, note="bootstrap")
+        finally:
+            frontier.unpersist()
 
     # -- insert newly-discovered urls (dedup vs whole frontier) ---------
     def insert(
@@ -71,7 +111,10 @@ class FrontierStore:
 
         The batch is persisted once and every count comes off that
         cache — the round-1 version recomputed the canonicalizer +
-        dedup lineage three times (canon.count, fresh.count, commit)."""
+        dedup lineage three times (canon.count, fresh.count, commit).
+        The Bloom filter is the STORED one, incrementally OR-merged with
+        this batch's filter afterwards — one O(|batch|) build per
+        insert, never a rebuild from the full frontier."""
         frontier = self.table.read(spark)
         batch = with_url_canon(urls).dropDuplicates(["url_hash"]).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -82,9 +125,13 @@ class FrontierStore:
                 canon = canon.withColumn("seed_rcp_no", F.lit(None).cast("string"))
             if "priority" not in canon.columns:
                 canon = canon.withColumn("priority", F.lit(0.0))
-            bloom = D.build_seen_filter(
-                frontier.select("url_hash"), n_shards=self.n_bloom_shards
-            )
+            if self.bloom.snapshots():
+                bloom = self.bloom.read(spark)
+            else:  # recovery / legacy store: rebuild once from the table
+                self._commit_bloom_batch(
+                    spark, frontier.select("url_hash"), "rebuild"
+                )
+                bloom = self.bloom.read(spark)
             fresh = (
                 D.dedup_urls(canon, frontier, bloom, self.n_bloom_shards)
                 .withColumn("depth", F.lit(depth))
@@ -97,6 +144,15 @@ class FrontierStore:
             )
             n_in = batch.count()
             n_fresh = fresh.count()
+            # bloom FIRST, frontier delta second: a crash in between
+            # leaves extra bloom keys (harmless — exact confirm rejects
+            # them), while the reverse order could leave a frontier row
+            # the filter doesn't know → a later duplicate insert would
+            # last-wins reset that row's state
+            if n_fresh:
+                self._commit_bloom_batch(
+                    spark, fresh.select("url_hash"), f"insert depth={depth}"
+                )
             snap = self.table.commit_delta(
                 spark, fresh, note=f"insert depth={depth}"
             )

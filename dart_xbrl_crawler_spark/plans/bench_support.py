@@ -129,8 +129,12 @@ def frontier_scale_job(spark: SparkSession, n_urls: int) -> int:
     from ..operators import dedup as D
     from ..operators import politeness as P
 
-    par = spark.sparkContext.defaultParallelism
-    base = spark.range(n_urls, numPartitions=par * 4)
+    # FIXED partition count, independent of cores: the scaling
+    # comparison must vary only the executor count — deriving task
+    # counts from defaultParallelism quadruples the number of
+    # sub-second tasks at 4N and the single-threaded DAGScheduler
+    # becomes the bottleneck (measured as 4N anti-scaling)
+    base = spark.range(n_urls, numPartitions=64)
     url = F.concat(
         F.lit("https://"),
         F.when(F.col("id") % 10 < 6, F.lit("DART.FSS.OR.KR")).otherwise(
@@ -183,11 +187,14 @@ def frontier_scale_job(spark: SparkSession, n_urls: int) -> int:
             frontier.unpersist()
 
 
-def extract_job(spark: SparkSession, pages_path: str) -> int:
-    """Extract stage over pre-synthesized pages; returns parsed count."""
+def extract_job(spark: SparkSession, pages_path: str, limit: int | None = None) -> int:
+    """Extract stage over pre-synthesized pages; returns parsed count.
+    ``limit`` bounds the input (used for cheap worker warm-up runs)."""
     from ..operators import extract as X
 
     pages = spark.read.parquet(pages_path)
+    if limit:
+        pages = pages.limit(limit)
     out = X.extract_text(pages, RUN_TS)
     return out.filter(F.col("parse_ok")).count()
 

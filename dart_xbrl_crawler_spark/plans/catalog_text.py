@@ -725,6 +725,91 @@ def q39(spark, sf):
 # approx_count_distinct (frontier cardinality metric) + from_json with
 # explicit schema — rows-only (HLL sketches are engine-specific)
 # =====================================================================
+# =====================================================================
+# document fingerprinting — polynomial ROLLING hash over codepoints
+# (Rabin-Karp style; complements q28's md5 content fingerprint)
+# =====================================================================
+@query(
+    "q45_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split_regex(text, ''), x -> x <> ''),
+                 x -> CAST(ord(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fp,
+           LENGTH(text) AS n_chars
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q45(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    codes = F.transform(
+        F.filter(F.split("text", ""), lambda x: x != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, c: F.pmod(a * 31 + c, F.lit(2147483647).cast("long")),
+    )
+    return d.select(
+        "doc_id", fp.alias("fp"), F.length("text").cast("long").alias("n_chars")
+    )
+
+
+# =====================================================================
+# exact n-gram Jaccard near-dup pairs (blocked on lang — never
+# all-pairs); the exact counterpart of the MinHash estimate (q30)
+# =====================================================================
+@query(
+    "q46_ngram_jaccard_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS sh
+      FROM documents WHERE doc_id % 20 = 0 AND LENGTH(text) >= 3)
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.05
+    """,
+)
+def q46(spark, sf):
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") >= 3)
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substring(F.col("text"), i, F.lit(3)),
+        )
+    )
+    s = d.select("doc_id", "lang", sh.alias("sh"))
+    a = s.select(
+        F.col("doc_id").alias("a_id"), "lang", F.col("sh").alias("a_sh")
+    )
+    b = s.select(
+        F.col("doc_id").alias("b_id"), "lang", F.col("sh").alias("b_sh")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        / F.size(F.array_union("a_sh", "b_sh")),
+        4,
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
 @query("q40_approx_cardinality", None)
 def q40(spark, sf):
     from pyspark.sql import types as T

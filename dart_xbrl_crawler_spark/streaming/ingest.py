@@ -68,6 +68,61 @@ def run_discovery_smoke(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+HOST_STATE_OUT = (
+    "host string, total_fetched long, batch_fetched long, last_ts timestamp"
+)
+_HOST_STATE = "total_fetched long, last_ts timestamp"
+
+
+def track_host_fetch_state(pages_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL operator (applyInPandasWithState): per-host
+    cumulative fetch counters + last-seen timestamp maintained across
+    micro-batches — the streaming twin of the frontier's per-host
+    lineage counters (north_rule 'stateful URL-seen / per-round
+    budget').  State is keyed by host, so the giant host's state row is
+    one tuple regardless of its traffic; per-batch work stays
+    proportional to the batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    canon = with_url_canon(pages_stream.select("url", "warc_ts"))
+
+    def track(key, pdfs, state):
+        n = 0
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["warc_ts"].max()
+            last = m if last is None or (m is not None and m > last) else last
+        if state.exists:
+            total, prev_ts = state.get
+        else:
+            total, prev_ts = 0, None
+        total += n
+        last_out = last if last is not None else prev_ts
+        state.update((total, last_out))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "total_fetched": [total],
+                "batch_fetched": [n],
+                "last_ts": [last_out],
+            }
+        )
+
+    return (
+        canon.select("host", "warc_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            track,
+            HOST_STATE_OUT,
+            _HOST_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_into_frontier(
     spark: SparkSession,
     src_path: str,

@@ -68,6 +68,25 @@ def test_politeness_has_no_unpartitioned_window(spark, fixture_bundle):
     assert "host" in plan
 
 
+def test_scheduler_no_global_rownumber_window(spark, fixture_bundle):
+    """visit_rank assignment must not serialize the seed list: no
+    unpartitioned row_number() window anywhere in the scheduler plan.
+    (The two-level cumsum's one unpartitioned SUM window runs over
+    per-bucket aggregate rows — ≤ |corps|/2^14 — and is allowed.)"""
+    from dart_xbrl_crawler_spark.operators.scheduler import reference_schedule
+    from dart_xbrl_crawler_spark.schemas import SEEDS
+
+    _, seeds, _, _ = fixture_bundle
+    sched = reference_schedule(spark.createDataFrame(seeds, schema=SEEDS))
+    logical = sched._jdf.queryExecution().optimizedPlan().toString()
+    for line in logical.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number()" in s and ", [], [" not in s:
+            continue  # partitioned row_number — fine
+        if s.startswith("Window ") and "row_number()" in s:
+            pytest.fail(f"global row_number window in scheduler plan: {s}")
+
+
 def test_extract_projects_only_kernel_columns(spark, fixture_bundle):
     """The Arrow channel into the extract UDF must carry only
     (url, html, report_nm, rcept_dt) — never text/lang/warc_ts."""

@@ -23,6 +23,55 @@ def test_streaming_discovery_counts(spark, fixture_bundle, tmp_path):
     assert "dart.fss.or.kr" in hosts
 
 
+def test_stateful_host_fetch_tracking(spark, fixture_bundle, tmp_path):
+    """applyInPandasWithState: per-host cumulative counters must
+    accumulate ACROSS micro-batches (state survives batch boundaries)."""
+    pages, *_ = fixture_bundle
+    src = str(tmp_path / "pages_state")
+    pdf1 = pages.iloc[: len(pages) // 2]
+    pdf2 = pages.iloc[len(pages) // 2 :]
+    spark.createDataFrame(pdf1, schema=PAGES).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(PAGES).option(
+        "maxFilesPerTrigger", 100
+    ).parquet(src)
+    out = ingest.track_host_fetch_state(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(pdf2, schema=PAGES).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM host_state").collect()
+    # memory sink in update mode appends one row per (host, batch);
+    # the LAST total per host must equal its true page count
+    latest: dict = {}
+    for r in rows:
+        latest[r["host"]] = max(
+            latest.get(r["host"], 0), r["total_fetched"]
+        )
+    from dart_xbrl_crawler_spark.functions.urls import canonicalize_one
+
+    truth: dict = {}
+    for u in pages["url"]:
+        h = canonicalize_one(u)[1]
+        truth[h] = truth.get(h, 0) + 1
+    assert latest == truth
+    # at least one host saw rows in BOTH batches → its updates show a
+    # strictly growing total (state carried across batches)
+    grew = any(
+        len({r["total_fetched"] for r in rows if r["host"] == h}) > 1
+        for h in latest
+    )
+    assert grew
+
+
 def test_stream_into_frontier_dedups(spark, fixture_bundle, tmp_path):
     pages, seeds, *_ = fixture_bundle
     from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
