@@ -204,6 +204,8 @@ def dedup_urls(
     seen: DataFrame,
     bloom: DataFrame | None = None,
     n_shards: int = 64,
+    max_confirmed_hint: int | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact frontier − seen.
 
@@ -216,6 +218,15 @@ def dedup_urls(
     (true overlap + fpp·|new|), never by |seen| — broadcast it into a
     single anti-join, so the frontier (strings) never shuffles or sorts
     and the seen table moves only as bare int64 hashes.
+
+    The broadcast is NOT unconditional (a rediscovery-heavy batch can
+    overlap almost entirely, and a forced multi-million-row broadcast
+    OOMs the driver): callers who know an upper bound on the overlap
+    (insert knows |batch|) pass ``max_confirmed_hint`` and the hint-fits
+    case keeps the zero-extra-action broadcast plan; otherwise the
+    confirmed set is materialized once, counted, and broadcast only when
+    it actually fits — falling back to a plain anti-join (AQE picks the
+    strategy) for genuinely huge overlaps.
 
     Why not joins: the SortMergeJoin-anti formulation cost two full
     sorts of the 5M-row sides and anti-scaled 1.4× going 8→32 cores;
@@ -264,4 +275,13 @@ def dedup_urls(
         .applyInPandas(probe, schema=_VERDICT_SCHEMA)
         .select("url_hash")
     )
-    return frontier.join(F.broadcast(confirmed_seen), "url_hash", "left_anti")
+    if max_confirmed_hint is not None and max_confirmed_hint <= broadcast_max_rows:
+        return frontier.join(F.broadcast(confirmed_seen), "url_hash", "left_anti")
+    # unknown/large bound: materialize the confirmed set once
+    # (lineage-free — the python cogroup runs exactly once; blocks are
+    # reclaimed by the ContextCleaner) and pick the join strategy on the
+    # TRUE count instead of hoping it fits in driver memory
+    confirmed_seen = confirmed_seen.localCheckpoint(eager=True)
+    if confirmed_seen.count() <= broadcast_max_rows:
+        return frontier.join(F.broadcast(confirmed_seen), "url_hash", "left_anti")
+    return frontier.join(confirmed_seen, "url_hash", "left_anti")

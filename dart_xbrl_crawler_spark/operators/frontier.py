@@ -41,12 +41,24 @@ class FrontierStore:
         path: str,
         n_bloom_shards: int = 64,
         expected_keys: int = 1 << 22,
+        compact_every: int = 16,
+        expire_keep_last: int | None = None,
     ):
-        self.table = MergeTable(path, key="url_hash")
+        self.table = MergeTable(
+            path,
+            key="url_hash",
+            compact_every=compact_every,
+            expire_keep_last=expire_keep_last,
+        )
         self.metrics = SnapshotTable(path + "_metrics")
         self.bloom = SnapshotTable(path + "_bloom")
         self.n_bloom_shards = n_bloom_shards
         self.expected_keys = expected_keys
+        # previous round's fetch cache: must outlive run_round's return
+        # (fetched_pages derives from it) but not the NEXT round —
+        # released at the top of the following run_round so long
+        # multi-round runs don't accumulate storage-memory pressure
+        self._prev_fetched: DataFrame | None = None
 
     def _commit_bloom_batch(
         self, spark: SparkSession, hashes: DataFrame, note: str
@@ -61,6 +73,37 @@ class FrontierStore:
         else:
             merged = batch
         self.bloom.commit(merged, note=note)
+
+    def _commit_insert_metrics(
+        self, spark: SparkSession, fresh: DataFrame, n_fresh: int, n_dup: int
+    ) -> None:
+        """Lineage rows for an insert: per-partition queued counts for
+        the rows that entered + one 'deduped' counter (a lineage state,
+        not a table state — duplicates are counted, never inserted).
+        All inputs are already-materialized caches: O(|batch|)."""
+        parts = []
+        if n_fresh:
+            parts.append(
+                fresh.groupBy(
+                    F.lit(-1).alias("round_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    F.lit("queued").alias("state"),
+                )
+                .count()
+                .withColumnRenamed("count", "n")
+            )
+        if n_dup:
+            parts.append(
+                spark.createDataFrame(
+                    [(-1, -1, "deduped", n_dup)],
+                    schema="round_id int, partition_id int, state string, n long",
+                )
+            )
+        if parts:
+            m = parts[0]
+            for p in parts[1:]:
+                m = m.unionByName(p)
+            self.metrics.commit(m, note="insert lineage")
 
     # -- bootstrap -----------------------------------------------------
     def bootstrap(self, urls: DataFrame, run_ts: str) -> str:
@@ -96,7 +139,9 @@ class FrontierStore:
             self._commit_bloom_batch(
                 spark, frontier.select("url_hash"), "bootstrap"
             )
-            return self.table.commit_base(frontier, note="bootstrap")
+            snap = self.table.commit_base(frontier, note="bootstrap")
+            self._commit_insert_metrics(spark, frontier, frontier.count(), 0)
+            return snap
         finally:
             frontier.unpersist()
 
@@ -132,8 +177,17 @@ class FrontierStore:
                     spark, frontier.select("url_hash"), "rebuild"
                 )
                 bloom = self.bloom.read(spark)
+            n_in = batch.count()
             fresh = (
-                D.dedup_urls(canon, frontier, bloom, self.n_bloom_shards)
+                D.dedup_urls(
+                    canon,
+                    frontier,
+                    bloom,
+                    self.n_bloom_shards,
+                    # overlap ≤ |batch| — keeps dedup's zero-extra-action
+                    # broadcast plan whenever the batch itself is small
+                    max_confirmed_hint=n_in,
+                )
                 .withColumn("depth", F.lit(depth))
                 .withColumn("state", F.lit("queued"))
                 .withColumn("discovered_ts", F.to_timestamp(F.lit(run_ts)))
@@ -142,7 +196,6 @@ class FrontierStore:
                 .select("url_hash", *[c for c in frontier.columns if c != "url_hash"])
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            n_in = batch.count()
             n_fresh = fresh.count()
             # bloom FIRST, frontier delta second: a crash in between
             # leaves extra bloom keys (harmless — exact confirm rejects
@@ -156,6 +209,7 @@ class FrontierStore:
             snap = self.table.commit_delta(
                 spark, fresh, note=f"insert depth={depth}"
             )
+            self._commit_insert_metrics(spark, fresh, n_fresh, n_in - n_fresh)
             fresh.unpersist()
             return snap, n_fresh, n_in - n_fresh
         finally:
@@ -179,6 +233,12 @@ class FrontierStore:
         states, commit ONE delta snapshot holding only the touched rows.
         Returns (snapshot_id, fetched pages DataFrame ready for the
         extract stage)."""
+        # release the PREVIOUS round's fetch cache (it had to outlive
+        # that round's return — fetched_pages derives from it)
+        if self._prev_fetched is not None:
+            self._prev_fetched.unpersist()
+            self._prev_fetched = None
+
         frontier = self.table.read(spark)
         queued = frontier.filter(F.col("state") == "queued")
 
@@ -210,38 +270,34 @@ class FrontierStore:
         missing = fetched.filter(F.col("html").isNull())
 
         # state transitions → DELTA rows: only the touched frontier rows
-        # are rewritten (append-only MERGE, SURVEY.md §2.9)
-        trans = (
-            ok.select("url_hash", F.lit("fetched").alias("new_state"))
-            .unionByName(
-                missing.select("url_hash", F.lit("failed").alias("new_state"))
-            )
-            .unionByName(
-                popped.filter(F.col("robots_blocked")).select(
-                    "url_hash", F.lit("robots_blocked").alias("new_state")
-                )
-            )
-        )
+        # are rewritten (append-only MERGE, SURVEY.md §2.9).  popped
+        # already carries every frontier column, so the delta derives
+        # straight from the round's own (persisted) frames — NO second
+        # read of the full frontier: the only O(|frontier|) work in a
+        # round is the pop's own scan.
+        fcols = frontier.columns
+        fetch_ts = F.to_timestamp(F.lit(run_ts))
         changed = (
-            frontier.join(trans, "url_hash")  # inner: O(|round|) rows out
-            .withColumn("state", F.col("new_state"))
-            .withColumn(
-                "fetch_ts",
-                F.when(
-                    F.col("new_state") == "fetched", F.to_timestamp(F.lit(run_ts))
-                ).otherwise(F.col("fetch_ts")),
+            ok.withColumn("state", F.lit("fetched"))
+            .withColumn("fetch_ts", fetch_ts)
+            .select(*fcols)
+            .unionByName(
+                missing.withColumn("state", F.lit("failed")).select(*fcols)
             )
-            .drop("new_state")
-            .select(*frontier.columns)
+            .unionByName(
+                popped.filter(F.col("robots_blocked"))
+                .withColumn("state", F.lit("robots_blocked"))
+                .select(*fcols)
+            )
         )
         snap = self.table.commit_delta(spark, changed, note=f"round={round_id}")
 
-        # per-partition lineage counters (north_rule) over the merged
-        # post-commit state — cheap count aggregate, no extra write of
-        # frontier rows
-        merged = self.table.read(spark)
+        # per-partition lineage counters (north_rule): derived from the
+        # round's OWN delta (cached upstream frames) — O(|round|), never
+        # a post-commit scan of the merged 10^10-row frontier.  Running
+        # totals come from folding the metrics chain (lineage_counts).
         metrics = (
-            merged.groupBy(
+            changed.groupBy(
                 F.lit(round_id).alias("round_id"),
                 F.spark_partition_id().alias("partition_id"),
                 "state",
@@ -263,10 +319,32 @@ class FrontierStore:
             "warc_ts",
         )
         popped.unpersist()  # snapshot committed — drop the round's caches
+        self._prev_fetched = fetched  # released at the next round's start
         return snap, fetched_pages
 
     def state_counts(self, spark: SparkSession) -> dict[str, int]:
+        """EXACT per-state counts — one full scan of the merged table.
+        Diagnostic surface (cheap at test scale, honest after manual
+        rollbacks); the per-round / at-scale path is lineage_counts."""
         rows = (
             self.table.read(spark).groupBy("state").count().collect()
         )
         return {r["state"]: r["count"] for r in rows}
+
+    def lineage_counts(self, spark: SparkSession) -> dict[str, int]:
+        """Per-state counts folded from the metrics chain — O(|metrics|)
+        rows read, NEVER a frontier scan (at 10^10 rows the scan this
+        replaces was the one remaining per-round full-table cost).
+        'deduped' is a lineage counter (duplicates counted at insert,
+        never inserted); queued = inserts − transitions."""
+        m = self.metrics.read_all(spark)
+        agg = {
+            r["state"]: int(r["n"])
+            for r in m.groupBy("state").agg(F.sum("n").alias("n")).collect()
+        }
+        queued_in = agg.pop("queued", 0)
+        out = {k: v for k, v in agg.items() if v}
+        n_trans = sum(v for k, v in agg.items() if k != "deduped")
+        if queued_in - n_trans:
+            out["queued"] = queued_in - n_trans
+        return out

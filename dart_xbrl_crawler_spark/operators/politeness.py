@@ -18,6 +18,8 @@ AQE skew-join handles residual imbalance (session.py enables it).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -50,6 +52,49 @@ ROBOTS_RULES_SCHEMA = T.StructType(
         T.StructField("crawl_delay_ms", T.LongType(), True),
     ]
 )
+
+# Extended rules dim emitted by robots_rules_from_txt: each rule carries
+# the literal prefix up to the first wildcard (cheap Catalyst prefilter),
+# an anchored Java regex when the raw rule used RFC 9309 '*'/'$' special
+# characters (null otherwise — the common case never pays a regex), and
+# the raw rule's octet length for most-specific-match precedence.
+ROBOTS_RULES_WILD_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField(
+            "rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("prefix", T.StringType(), False),
+                        T.StructField("pattern", T.StringType(), True),
+                        T.StructField("allow", T.BooleanType(), False),
+                        T.StructField("rlen", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("crawl_delay_ms", T.LongType(), True),
+    ]
+)
+
+
+def _rule_to_match(path_rule: str) -> tuple[str, str | None]:
+    """RFC 9309 rule path → (literal_prefix, anchored_regex|None).
+
+    '*' matches any run of octets; a TRAILING '$' anchors the end of the
+    path ('$' anywhere else is a literal).  Rules without either special
+    character return (rule, None) and match by plain prefix."""
+    if "*" not in path_rule and not path_rule.endswith("$"):
+        return path_rule, None
+    end_anchor = path_rule.endswith("$")
+    body = path_rule[:-1] if end_anchor else path_rule
+    parts = body.split("*")
+    regex = "^" + ".*".join(re.escape(p) for p in parts)
+    if end_anchor:
+        regex += "$"
+    return parts[0], regex
 
 
 def parse_robots_txt(
@@ -111,7 +156,11 @@ def parse_robots_txt(
                 best = (score, rules, delay)
     if best is None:
         return [], None
-    delay_ms = int(best[2] * 1000) if best[2] is not None else None
+    # Clamp to ≥1 ms: 'Crawl-delay: 0' (or negative) means "no delay
+    # requested", NOT "divide the round budget by zero" — an unclamped 0
+    # crashes the budget division under ANSI mode and silently starves
+    # the host under non-ANSI (null budget passes no branch filter).
+    delay_ms = max(1, int(best[2] * 1000)) if best[2] is not None else None
     return best[1], delay_ms
 
 
@@ -120,9 +169,10 @@ def robots_rules_from_txt(
     robots_txt: DataFrame,
     user_agent: str = "dart-xbrl-crawler",
 ) -> DataFrame:
-    """(host, robots_txt) → rules dim matching ROBOTS_RULES_SCHEMA.
-    Tiny-dim path: parsing runs in a pandas UDF batch; the result is
-    broadcast by apply_robots."""
+    """(host, robots_txt) → rules dim matching ROBOTS_RULES_WILD_SCHEMA
+    (literal prefix + optional anchored regex for '*'/'$' rules + raw
+    rule length for precedence).  Tiny-dim path: parsing runs in a
+    pandas UDF batch; the result is broadcast by apply_robots."""
     import pandas as pd
 
     def parse(it):
@@ -131,34 +181,62 @@ def robots_rules_from_txt(
             for host, txt in zip(pdf["host"], pdf["robots_txt"]):
                 rules, delay = parse_robots_txt(txt or "", user_agent)
                 hosts.append(host)
-                rules_col.append(
-                    [{"prefix": p, "allow": a} for p, a in rules]
-                )
+                structs = []
+                for p, a in rules:
+                    prefix, pattern = _rule_to_match(p)
+                    structs.append(
+                        {
+                            "prefix": prefix,
+                            "pattern": pattern,
+                            "allow": a,
+                            "rlen": len(p),
+                        }
+                    )
+                rules_col.append(structs)
                 delays.append(delay)
             yield pd.DataFrame(
                 {"host": hosts, "rules": rules_col, "crawl_delay_ms": delays}
             )
 
-    return robots_txt.mapInPandas(parse, schema=ROBOTS_RULES_SCHEMA)
+    return robots_txt.mapInPandas(parse, schema=ROBOTS_RULES_WILD_SCHEMA)
 
 
 def _eval_rules(path):
     """Longest-match REP evaluation as ONE Catalyst expression over the
     broadcast rules array — no row multiplication, no UDF.  Struct
-    max-ordering on (prefix_length, allow) makes Allow win exact-length
-    ties, per Google/RFC-9309 semantics."""
+    max-ordering on (rule_length, allow) makes Allow win exact-length
+    ties, per Google/RFC-9309 semantics.  Rules are normalized structs
+    (prefix, pattern, allow, rlen): the literal prefix prefilters cheap,
+    the regex (only present for '*'/'$' rules) decides wildcard rules."""
     matched = F.filter(
-        F.col("rules"), lambda r: path.startswith(r["prefix"])
+        F.col("rules"),
+        lambda r: path.startswith(r["prefix"])
+        & (r["pattern"].isNull() | F.regexp_like(path, r["pattern"])),
     )
     best = F.array_max(
         F.transform(
             matched,
-            lambda r: F.struct(
-                F.length(r["prefix"]).alias("l"), r["allow"].alias("allow")
-            ),
+            lambda r: F.struct(r["rlen"].alias("l"), r["allow"].alias("allow")),
         )
     )
     return F.when(best.isNotNull(), ~best["allow"]).otherwise(F.lit(False))
+
+
+def _normalize_rules(rules_col, rules_type: T.ArrayType):
+    """Lift a plain (prefix, allow) rules array into the wildcard-aware
+    (prefix, pattern, allow, rlen) shape so one evaluator serves both."""
+    names = rules_type.elementType.names  # type: ignore[union-attr]
+    if "pattern" in names:
+        return rules_col
+    return F.transform(
+        rules_col,
+        lambda r: F.struct(
+            r["prefix"].alias("prefix"),
+            F.lit(None).cast("string").alias("pattern"),
+            r["allow"].alias("allow"),
+            F.length(r["prefix"]).cast("int").alias("rlen"),
+        ),
+    )
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
@@ -173,9 +251,10 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         crawl_delay_ms) — treated as one Disallow rule."""
     path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
     if "rules" in robots.columns:
+        rules_type = robots.schema["rules"].dataType
         dim = robots.select(
             "host",
-            "rules",
+            _normalize_rules(F.col("rules"), rules_type).alias("rules"),
             F.coalesce("crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)).alias(
                 "crawl_delay_ms"
             ),
@@ -214,6 +293,7 @@ def pop_round(
     salt_buckets: int = 32,
     max_per_host: int | None = None,
     exact_rank_max: int = 100_000,
+    broadcast_hosts_max: int = 262_144,
 ) -> DataFrame:
     """Select this round's fetch set.
 
@@ -226,7 +306,12 @@ def pop_round(
         "partition_salt",
         F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"),
     )
-    budget = F.floor(F.lit(round_ms) / F.col("crawl_delay_ms"))
+    # ≥1 ms guard: a rules dim built outside parse_robots_txt may carry
+    # crawl_delay_ms=0 ("no delay requested") — clamp instead of ANSI
+    # DIVIDE_BY_ZERO / a silent null budget that starves the host.
+    budget = F.floor(
+        F.lit(round_ms) / F.greatest(F.lit(1), F.col("crawl_delay_ms"))
+    )
     if max_per_host is not None:
         budget = F.least(budget, F.lit(max_per_host))
     gated = gated.withColumn("_budget", budget)
@@ -234,14 +319,24 @@ def pop_round(
     # Per-host candidate counts: hosts whose whole queue fits the budget
     # (the common case, including under-filled giant hosts) BYPASS
     # ranking entirely — Amdahl's law otherwise pins the round on the
-    # one task that sorts the giant host.  counts is one row per host →
-    # always broadcast.
+    # one task that sorts the giant host.  counts is one row per host —
+    # a few thousand at DART shape but up to 10^8 on the open web, so
+    # the broadcast is GATED on the true cardinality: the aggregate is
+    # materialized once (localCheckpoint truncates the lineage so the
+    # count and the join reuse the same blocks; cleanup rides the
+    # ContextCleaner), counted, and only broadcast when it fits —
+    # otherwise a plain shuffle join with AQE skew-split takes over
+    # instead of OOMing the driver on a forced 10^8-row broadcast.
     counts = (
         gated.filter(~F.col("robots_blocked"))
         .groupBy("host")
         .agg(F.count("*").alias("_n_cand"))
+        .localCheckpoint(eager=True)
     )
-    gated = gated.join(F.broadcast(counts), "host", "left").withColumn(
+    counts_side = (
+        F.broadcast(counts) if counts.count() <= broadcast_hosts_max else counts
+    )
+    gated = gated.join(counts_side, "host", "left").withColumn(
         "_n_cand", F.coalesce("_n_cand", F.lit(0))
     )
     over = F.col("_n_cand") > F.col("_budget")

@@ -20,12 +20,23 @@ _ARROW_MAX_RECORDS = "2048"
 
 
 def _local_dir() -> str:
-    """Prefer tmpfs for shuffle/spill scratch; fall back to the system
-    temp dir."""
-    if os.path.isdir("/dev/shm"):
-        path = "/dev/shm/spark_local"
-        os.makedirs(path, exist_ok=True)
-        return path
+    """Shuffle/spill scratch dir.  tmpfs is opt-in-ish: SPARK_GRAFT_TMPFS
+    forces it on ('1') or off ('0'); unset, /dev/shm is used only when it
+    has generous free space (≥16 GiB).  Unconditional tmpfs would make
+    every shuffle spill consume RAM on any Linux host — a shuffle larger
+    than tmpfs capacity fails the job, and 'spilling to disk' under
+    memory pressure would consume MORE memory."""
+    flag = os.environ.get("SPARK_GRAFT_TMPFS")
+    if flag != "0" and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            free = st.f_bavail * st.f_frsize
+        except OSError:
+            free = 0
+        if flag == "1" or free >= 16 * 1024**3:
+            path = "/dev/shm/spark_local"
+            os.makedirs(path, exist_ok=True)
+            return path
     return tempfile.gettempdir()
 
 

@@ -53,7 +53,9 @@ class SnapshotTable:
         ``kind`` is "base" (full table image) or "delta" (changed rows
         only — see MergeTable).  Returns the snapshot id."""
         snaps = self.snapshots()
-        seq = len(snaps)
+        # monotonic, NOT len(snaps): expiry trims the manifest front, and
+        # a reused seq would corrupt MergeTable's last-wins-by-_seq merge
+        seq = (snaps[-1]["seq"] + 1) if snaps else 0
         snap_id = f"snap-{seq:06d}-{uuid.uuid4().hex[:8]}"
         snap_dir = os.path.join(self.path, snap_id)
         df.write.mode("overwrite").parquet(snap_dir)
@@ -77,6 +79,16 @@ class SnapshotTable:
             raise KeyError(f"unknown snapshot {snapshot_id}")
         return spark.read.parquet(os.path.join(self.path, snapshot_id))
 
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        """Union of EVERY committed snapshot (append-only chains like
+        per-round metrics, where each commit is an independent batch)."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshots at {self.path}")
+        return spark.read.parquet(
+            *[os.path.join(self.path, s["id"]) for s in snaps]
+        )
+
     def rollback_to(self, snapshot_id: str) -> None:
         snaps = self.snapshots()
         keep = []
@@ -87,6 +99,29 @@ class SnapshotTable:
         else:
             raise KeyError(f"unknown snapshot {snapshot_id}")
         self._publish(keep)
+
+    def expire(self, keep_last: int) -> list[str]:
+        """Retention: drop all but the last ``keep_last`` manifest
+        entries, then GC every unreferenced snapshot dir (including
+        orphans from crashed writers and past rollbacks).  Manifest
+        FIRST, dirs second — a crash in between leaves unreferenced
+        dirs (cleaned by the next expire), never a dangling manifest
+        entry.  Returns the ids whose dirs were removed."""
+        import shutil
+
+        snaps = self.snapshots()
+        if keep_last > 0 and len(snaps) > keep_last:
+            self._publish(snaps[-keep_last:])
+        return self._gc_orphans(shutil)
+
+    def _gc_orphans(self, shutil) -> list[str]:
+        live = {s["id"] for s in self.snapshots()}
+        removed = []
+        for d in os.listdir(self.path):
+            if d.startswith("snap-") and d not in live:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                removed.append(d)
+        return removed
 
 
 class MergeTable:
@@ -104,10 +139,18 @@ class MergeTable:
     new base every ``compact_every`` deltas to bound read amplification.
     """
 
-    def __init__(self, path: str, key: str = "url_hash", compact_every: int = 16):
+    def __init__(
+        self,
+        path: str,
+        key: str = "url_hash",
+        compact_every: int = 16,
+        expire_keep_last: int | None = None,
+    ):
         self.table = SnapshotTable(path)
         self.key = key
         self.compact_every = compact_every
+        # retention applied after each auto-compaction; None = keep all
+        self.expire_keep_last = expire_keep_last
 
     # -- commits ---------------------------------------------------------
     def commit_base(self, df: DataFrame, note: str = "") -> str:
@@ -119,7 +162,11 @@ class MergeTable:
         ``compact_every``."""
         snap = self.table.commit(df, note=note, kind="delta")
         if len(self._deltas_since_base()) > self.compact_every:
-            self.compact(spark, note=f"auto-compact after {note}")
+            self.compact(
+                spark,
+                note=f"auto-compact after {note}",
+                expire_keep_last=self.expire_keep_last,
+            )
         return snap
 
     def _deltas_since_base(self) -> list[dict]:
@@ -174,9 +221,43 @@ class MergeTable:
         )
         return merged.select(self.key, *cols)
 
-    def compact(self, spark: SparkSession, note: str = "compact") -> str:
-        """Fold base+deltas into a fresh base snapshot."""
-        return self.commit_base(self.read(spark), note=note)
+    def compact(
+        self,
+        spark: SparkSession,
+        note: str = "compact",
+        expire_keep_last: int | None = None,
+    ) -> str:
+        """Fold base+deltas into a fresh base snapshot.  With
+        ``expire_keep_last`` set, old snapshots beyond that many are
+        expired afterwards and orphan dirs GC'd — without retention the
+        store grows one full-table image per compaction, unbounded."""
+        snap = self.commit_base(self.read(spark), note=note)
+        if expire_keep_last is not None:
+            self.expire_snapshots(expire_keep_last)
+        return snap
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Retention that can never break reads: the latest base and
+        every delta after it are ALWAYS kept (they reconstruct current
+        state); beyond that, keep the last ``keep_last`` manifest
+        entries for time travel.  Unreferenced dirs (expired, crashed
+        writers, rollback leftovers) are deleted — manifest first, dirs
+        second.  Reference analog: the 7-day download-retention cleanup
+        (/root/reference/dart_api_manager.py:582-602), as snapshot
+        retention instead of mtime deletes."""
+        import shutil
+
+        snaps = self.table.snapshots()
+        base_idx = None
+        for i, s in enumerate(snaps):
+            if s.get("kind", "base") == "base":
+                base_idx = i
+        if base_idx is None:
+            return []
+        cut = min(base_idx, max(0, len(snaps) - keep_last))
+        if cut > 0:
+            self.table._publish(snaps[cut:])
+        return self.table._gc_orphans(shutil)
 
     # -- snapshot surface (time travel works on the delta chain too:
     # rollback truncates the manifest; read() then merges the latest
