@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("bootstrap")
     b.add_argument("--seeds", required=True)
     b.add_argument("--store", required=True)
+    # crawl date-window targeting (reference: MONTHS_BACK env /
+    # START_YMD+END_YMD override, dart_api_manager.py:220-232)
+    b.add_argument("--months-back", type=int, default=None,
+                   help="limit seeds to run_ts - N*30 days .. run_ts")
+    b.add_argument("--bgn-de", default=None, help="explicit YYYYMMDD window start (with --end-de)")
+    b.add_argument("--end-de", default=None, help="explicit YYYYMMDD window end (with --bgn-de)")
 
     e = sub.add_parser("expand")
     e.add_argument("--urls", required=True)
@@ -74,9 +80,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"cli-{args.cmd}")
 
     if args.cmd == "bootstrap":
+        from .operators.scheduler import date_window
+
         store = FrontierStore(args.store)
         seeds = spark.read.parquet(args.seeds)
-        snap = store.bootstrap(seeds_to_frontier(seeds), args.run_ts)
+        window = date_window(
+            args.run_ts,
+            months_back=args.months_back,
+            bgn_de=args.bgn_de,
+            end_de=args.end_de,
+        )
+        snap = store.bootstrap(
+            seeds_to_frontier(seeds, window=window), args.run_ts
+        )
         print(json.dumps({"snapshot": snap, "states": store.state_counts(spark)}))
     elif args.cmd == "expand":
         store = FrontierStore(args.store)

@@ -1,0 +1,214 @@
+"""Document-parser seam: format sniff → parser registry.
+
+The extract kernel's unpivot consumes ONE wide-document shape
+(``mini-xbrl-2``: tuple-labeled period columns × concept rows — the
+shape of the reference's pandas frame, xbrl_processor.py:458-503).
+Which bytes produce that shape is pluggable here:
+
+* ``mini-xbrl-2`` JSON members (the synthetic fixture format);
+* real XBRL 2.1 instance XML members, parsed by a minimal pure-Python
+  parser below (the reference does this via the ``dart_fss`` taxonomy
+  machinery, xbrl_processor.py:54,339-393 — not installable here, so
+  this parser covers instance-document structure: contexts with
+  instant/duration periods, consolidated/separate scenario members,
+  namespaced facts; labels come from a built-in concept table where
+  known, falling back to the concept localname).
+
+``register_parser`` lets deployments plug further formats (e.g. a real
+dart_fss adapter on a cluster that has it) without touching the kernel.
+Everything here is plain-python and runs INSIDE the Arrow batch UDF —
+no Spark imports.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import zipfile
+from collections.abc import Callable
+from xml.etree import ElementTree
+
+_ENTITY_RE = re.compile(r"entity(\d{8})")
+
+# sniff(body) -> bool, parse(body) -> doc dict | None
+_REGISTRY: list[tuple[Callable[[bytes], bool], Callable[[bytes], dict | None]]] = []
+
+
+def register_parser(
+    sniff: Callable[[bytes], bool], parse: Callable[[bytes], dict | None]
+) -> None:
+    """Prepend a (sniff, parse) pair — later registrations win."""
+    _REGISTRY.insert(0, (sniff, parse))
+
+
+def parse_document(html: bytes) -> tuple[str | None, dict | None]:
+    """ZIP bytes → (corp_code, wide doc dict | None).
+
+    Opens the in-memory ZIP, takes the first ``entity{8}_*.xbrl``
+    member, sniffs its body against the parser registry.  (None, None)
+    on any failure — the row becomes state='failed' upstream."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(html))
+        names = sorted(n for n in zf.namelist() if n.endswith(".xbrl"))
+        if not names:
+            return None, None
+        member = names[0]
+        m = _ENTITY_RE.search(member)
+        corp_code = m.group(1) if m else None
+        body = zf.read(member)
+        for sniff, parse in _REGISTRY:
+            if sniff(body):
+                return corp_code, parse(body)
+        return None, None
+    except Exception:
+        return None, None
+
+
+# ------------------------------------------------------- mini-xbrl-2
+def _sniff_mini(body: bytes) -> bool:
+    return body.lstrip()[:1] == b"{"
+
+
+def _parse_mini(body: bytes) -> dict | None:
+    try:
+        doc = json.loads(body.decode("utf-8"))
+    except Exception:
+        return None
+    return doc if doc.get("doc_format") == "mini-xbrl-2" else None
+
+
+# ------------------------------------------------- XBRL 2.1 instance
+# Minimal label table for the standard IFRS concepts the fixtures use —
+# the reference resolves these through the dart_fss taxonomy
+# (xbrl_processor.py:339-393); unknown concepts degrade to their
+# localname with empty classes, never to a parse failure.
+_CONCEPT_LABELS: dict[str, tuple[str, str, str, str, str]] = {
+    "ifrs-full_Assets": ("자산총계", "Total assets", "자산 [개요]", "자산 [개요]", ""),
+    "ifrs-full_CurrentAssets": ("유동자산", "Current assets", "자산총계", "유동자산", ""),
+    "ifrs-full_Liabilities": ("부채총계", "Total liabilities", "부채 [개요]", "부채 [개요]", ""),
+    "ifrs-full_CurrentLiabilities": ("유동부채", "Current liabilities", "부채총계", "유동부채", ""),
+    "ifrs-full_Equity": ("자본총계", "Total equity", "자본 [개요]", "자본 [개요]", ""),
+    "ifrs-full_Revenue": ("수익(매출액)", "Revenue", "수익 [개요]", "", ""),
+    "ifrs-full_CostOfSales": ("매출원가", "Cost of sales", "수익 [개요]", "매출원가", ""),
+    "ifrs-full_GrossProfit": ("매출총이익", "Gross profit", "수익 [개요]", "매출총이익", ""),
+    "ifrs-full_ProfitLoss": ("당기순이익", "Profit (loss)", "수익 [개요]", "당기순이익", ""),
+}
+
+
+def _sniff_xbrl_xml(body: bytes) -> bool:
+    head = body.lstrip()[:256]
+    return head.startswith(b"<?xml") or head.startswith(b"<xbrl")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _ns_prefix(tag: str) -> str:
+    """'{http://xbrl.ifrs.org/.../ifrs-full}Assets' → 'ifrs-full'."""
+    if tag.startswith("{"):
+        uri = tag[1:].split("}", 1)[0]
+        seg = uri.rstrip("/").rsplit("/", 1)[-1]
+        return seg
+    return ""
+
+
+def _parse_xbrl_xml(body: bytes) -> dict | None:
+    """XBRL 2.1 instance → wide mini-xbrl-2-shaped doc.
+
+    Contexts: instant periods label BS columns (YYYYMMDD); duration
+    periods label CIS columns (YYYYMMDD-YYYYMMDD).  A scenario/segment
+    member mentioning 'Separate' maps to 별도재무제표, else
+    연결재무제표.  Facts: any element with a contextRef and a numeric
+    body; concept_id = '<nsprefix>_<localname>'."""
+    try:
+        root = ElementTree.fromstring(body)
+    except ElementTree.ParseError:
+        return None
+    contexts: dict[str, tuple[str, str, bool]] = {}  # id → (period, fs, instant)
+    facts: list[tuple[str, str, float]] = []  # (concept_id, ctx, value)
+    for el in root:
+        name = _local(el.tag)
+        if name == "context":
+            ctx_id = el.get("id") or ""
+            period = fs = ""
+            instant = False
+            for sub in el.iter():
+                sname = _local(sub.tag)
+                txt = (sub.text or "").strip()
+                if sname == "instant" and txt:
+                    period, instant = txt.replace("-", ""), True
+                elif sname == "startDate" and txt:
+                    period = txt.replace("-", "") + period
+                elif sname == "endDate" and txt:
+                    period = period + "-" + txt.replace("-", "")
+                elif sname in ("explicitMember", "typedMember", "member") and txt:
+                    fs = (
+                        "별도재무제표"
+                        if "separate" in txt.lower()
+                        else "연결재무제표"
+                    )
+            contexts[ctx_id] = (period, fs or "연결재무제표", instant)
+        elif el.get("contextRef"):
+            txt = (el.text or "").strip()
+            if not txt:
+                continue
+            try:
+                val = float(txt)
+            except ValueError:
+                continue
+            prefix = _ns_prefix(el.tag)
+            cid = f"{prefix}_{_local(el.tag)}" if prefix else _local(el.tag)
+            facts.append((cid, el.get("contextRef"), val))
+
+    stmts: dict[str, dict] = {}
+    for rt, want_instant in (("BS", True), ("CIS", False)):
+        cols: list[tuple[str, str]] = []
+        col_idx: dict[tuple[str, str], int] = {}
+        rows: list[dict] = []
+        row_idx: dict[str, int] = {}
+        for cid, ctx, val in facts:
+            info = contexts.get(ctx)
+            if info is None or info[2] != want_instant:
+                continue
+            key = (info[0], info[1])
+            if key not in col_idx:
+                col_idx[key] = len(cols)
+                cols.append(key)
+            if cid not in row_idx:
+                row_idx[cid] = len(rows)
+                ko, en, c1, c2, c3 = _CONCEPT_LABELS.get(
+                    cid, (cid.rsplit("_", 1)[-1], cid.rsplit("_", 1)[-1], "", "", "")
+                )
+                rows.append(
+                    {
+                        "concept_id": cid,
+                        "label_ko": ko,
+                        "label_en": en,
+                        "class1": c1,
+                        "class2": c2,
+                        "class3": c3,
+                        "values": [],
+                    }
+                )
+        for r in rows:
+            r["values"] = [None] * len(cols)
+        for cid, ctx, val in facts:
+            info = contexts.get(ctx)
+            if info is None or info[2] != want_instant:
+                continue
+            rows[row_idx[cid]]["values"][col_idx[(info[0], info[1])]] = val
+        if rows:
+            stmts[rt] = {
+                "columns": [[p, [fs]] for p, fs in cols],
+                "rows": rows,
+            }
+    if not stmts:
+        return None
+    return {"doc_format": "mini-xbrl-2", "statements": stmts}
+
+
+_REGISTRY.extend(
+    [(_sniff_mini, _parse_mini), (_sniff_xbrl_xml, _parse_xbrl_xml)]
+)

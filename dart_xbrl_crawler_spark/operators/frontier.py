@@ -43,13 +43,32 @@ class FrontierStore:
         expected_keys: int = 1 << 22,
         compact_every: int = 16,
         expire_keep_last: int | None = None,
+        storage: str = "parquet",
+        n_buckets: int = 64,
     ):
-        self.table = MergeTable(
-            path,
-            key="url_hash",
-            compact_every=compact_every,
-            expire_keep_last=expire_keep_last,
-        )
+        if storage == "bucketed":
+            # 10^10-row layout: base bucketed by url_hash → merge-on-read
+            # and every url_hash join reuse the bucket layout instead of
+            # shuffling the frontier (sources/checkpoint.BucketedMergeTable)
+            import re as _re
+
+            from ..sources.checkpoint import BucketedMergeTable
+
+            prefix = _re.sub(r"[^A-Za-z0-9_]", "_", path.strip("/"))[-48:].lstrip("_")
+            self.table = BucketedMergeTable(
+                path,
+                table_prefix=f"frontier_{prefix}",
+                key="url_hash",
+                n_buckets=n_buckets,
+                compact_every=compact_every,
+            )
+        else:
+            self.table = MergeTable(
+                path,
+                key="url_hash",
+                compact_every=compact_every,
+                expire_keep_last=expire_keep_last,
+            )
         self.metrics = SnapshotTable(path + "_metrics")
         self.bloom = SnapshotTable(path + "_bloom")
         self.n_bloom_shards = n_bloom_shards
@@ -227,6 +246,7 @@ class FrontierStore:
         salt_buckets: int = 32,
         max_per_host: int | None = None,
         n_partitions: int = 32,
+        n_hosts_hint: int | None = None,
     ) -> tuple[str, DataFrame]:
         """Pop a politeness-bounded batch, 'fetch' it (bytes come from
         the pages table — the sandbox stand-in for HTTP), transition
@@ -250,6 +270,7 @@ class FrontierStore:
             round_ms=round_ms,
             salt_buckets=salt_buckets,
             max_per_host=max_per_host,
+            n_hosts_hint=n_hosts_hint,
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         selected = popped.filter(F.col("selected"))

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with real Spark plumbing (schema, partitioning, Arrow batch
-shape) and STUBBED codecs.
+shape).
 
-The decode step is deliberately a deterministic fake / NotImplementedError
-gate — the image/audio libraries are not in this container.  Everything
-around it (mapInPandas signatures, metadata extraction from magic
-bytes, batch sizing, partition-by-media-type layout) is real and
-tested, so swapping in a real codec is a one-function change.
+Decode status per modality: audio/wav has a REAL PCM decoder
+(decode_wav — stdlib wave + numpy sample stats); image/video decode is
+a deterministic stub / NotImplementedError gate (no codec libraries in
+this container).  Everything around the codecs (mapInPandas
+signatures, header metadata from magic bytes, batch sizing,
+partition-by-media-type layout) is real and tested, so swapping in a
+real image codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -155,6 +157,105 @@ def extract_header_meta(df: DataFrame, binary_col: str = "html") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=HEADER_META)
+
+
+AUDIO_STATS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL PCM sample decode — stdlib ``wave`` + numpy, no codec
+    library.  Returns sample-level stats (duration, RMS, peak) or None
+    for non-PCM/malformed payloads (the error path is data).  This is
+    the audio modality's real decoder; image/video decode stays behind
+    decode_stub (no codec libs in this container)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            fr = w.getframerate()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+    except Exception:
+        return None
+    if fr <= 0 or nch <= 0:
+        return None
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    return {
+        "sample_rate": fr,
+        "n_channels": nch,
+        "duration_s": nf / fr,
+        "n_samples": int(len(x)),
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+    }
+
+
+def extract_audio_stats(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """mapInPandas PCM decode over audio/wav payloads: (url,
+    sample_rate, n_channels, duration_s, n_samples, rms, peak).
+    Non-wav rows are filtered JVM-side BEFORE the Arrow channel — only
+    audio bytes ride to python."""
+    src = (
+        sniff_media(df, binary_col)
+        .filter(F.col("media_type") == "audio/wav")
+        .select("url", binary_col)
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                s = decode_wav(bytes(payload) if payload is not None else b"")
+                s = s or {
+                    "sample_rate": None,
+                    "n_channels": None,
+                    "duration_s": None,
+                    "n_samples": None,
+                    "rms": None,
+                    "peak": None,
+                }
+                rows.append({"url": url, **s})
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "sample_rate",
+                    "n_channels",
+                    "duration_s",
+                    "n_samples",
+                    "rms",
+                    "peak",
+                ],
+            )
+            for c, dt in (
+                ("sample_rate", "Int32"),
+                ("n_channels", "Int32"),
+                ("n_samples", "Int64"),
+            ):
+                out[c] = pd.array(out[c], dtype=dt)
+            yield out
+
+    return src.mapInPandas(run, schema=AUDIO_STATS)
 
 
 def decode_stub(payload: bytes, media_type: str | None) -> np.ndarray:

@@ -294,6 +294,7 @@ def pop_round(
     max_per_host: int | None = None,
     exact_rank_max: int = 100_000,
     broadcast_hosts_max: int = 262_144,
+    n_hosts_hint: int | None = None,
 ) -> DataFrame:
     """Select this round's fetch set.
 
@@ -331,11 +332,20 @@ def pop_round(
         gated.filter(~F.col("robots_blocked"))
         .groupBy("host")
         .agg(F.count("*").alias("_n_cand"))
-        .localCheckpoint(eager=True)
     )
-    counts_side = (
-        F.broadcast(counts) if counts.count() <= broadcast_hosts_max else counts
-    )
+    if n_hosts_hint is not None:
+        # caller-supplied cardinality bound: zero extra jobs — straight
+        # broadcast when it fits, straight shuffle join when it doesn't
+        counts_side = (
+            F.broadcast(counts) if n_hosts_hint <= broadcast_hosts_max else counts
+        )
+    else:
+        counts = counts.localCheckpoint(eager=True)
+        counts_side = (
+            F.broadcast(counts)
+            if counts.count() <= broadcast_hosts_max
+            else counts
+        )
     gated = gated.join(counts_side, "host", "left").withColumn(
         "_n_cand", F.coalesce("_n_cand", F.lit(0))
     )

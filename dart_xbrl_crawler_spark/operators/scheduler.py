@@ -28,8 +28,33 @@ def periodic_pred():
 _RANK_BUCKET = 1 << 14  # corps per cumsum bucket
 
 
+def date_window(
+    run_ts: str,
+    months_back: int | None = None,
+    bgn_de: str | None = None,
+    end_de: str | None = None,
+) -> tuple[str, str] | None:
+    """The reference's crawl date-window (dart_api_manager.py:220-232):
+    explicit bgn/end when BOTH are given; otherwise ``months_back * 30``
+    DAYS (the reference's exact arithmetic — timedelta(days=m*30), not
+    calendar months) back from the injected run_ts — never wall-clock.
+    Returns (bgn_de, end_de) as YYYYMMDD strings, or None for no window."""
+    if bgn_de and str(bgn_de).strip() and end_de and str(end_de).strip():
+        return str(bgn_de).strip(), str(end_de).strip()
+    if months_back is None:
+        return None
+    from datetime import datetime, timedelta
+
+    end = datetime.strptime(run_ts[:10], "%Y-%m-%d")
+    start = end - timedelta(days=months_back * 30)
+    return start.strftime("%Y%m%d"), end.strftime("%Y%m%d")
+
+
 def reference_schedule(
-    seeds: DataFrame, per_corp_cap: int = 5, page_size: int = 100
+    seeds: DataFrame,
+    per_corp_cap: int = 5,
+    page_size: int = 100,
+    window: tuple[str, str] | None = None,
 ) -> DataFrame:
     """seeds → (rcept_no, corp_code, rcept_dt, visit_rank), in the
     reference's exact visit order (corp-major, date-desc, capped).
@@ -42,8 +67,18 @@ def reference_schedule(
     bucketed cumsum — intra-bucket window partitioned by bucket, then
     one tiny unpartitioned cumsum over the ≤|corps|/2^14-row bucket
     totals.  visit_rank = offset(corp) + disc_rank, identical to the
-    old global row_number."""
+    old global row_number.
+
+    ``window=(bgn_de, end_de)`` reproduces the reference's date-range
+    targeting (API params ``bgn_de``/``end_de``, the MONTHS_BACK knob):
+    the predicate applies BEFORE page-1 truncation and the per-corp cap,
+    exactly as the API-side filter does — YYYYMMDD strings compare
+    lexicographically, so this stays a pushdown-able string BETWEEN."""
     periodic = seeds.filter(periodic_pred())
+    if window is not None:
+        periodic = periodic.filter(
+            F.col("rcept_dt").between(window[0], window[1])
+        )
 
     # corps visit in first-appearance order of the seed list
     corp_rank = periodic.groupBy("corp_code").agg(
@@ -95,11 +130,12 @@ def seeds_to_frontier(
     seeds: DataFrame,
     run_ts_col=None,
     per_corp_cap: int = 5,
+    window: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Expand the seed list into frontier rows: DART fetch URLs with
     priority = -visit_rank (higher priority pops first), so the
     politeness window reproduces the reference order within each host."""
-    sched = reference_schedule(seeds, per_corp_cap=per_corp_cap)
+    sched = reference_schedule(seeds, per_corp_cap=per_corp_cap, window=window)
     urls = sched.select(
         F.concat(
             F.lit("https://dart.fss.or.kr/api/fnlttXbrl.xml?rcept_no="),

@@ -20,10 +20,7 @@ dependent ties get explicit deterministic tie-breakers.
 
 from __future__ import annotations
 
-import io
-import json
 import re
-import zipfile
 
 FACT_COLUMNS = [
     "order_no",
@@ -63,7 +60,6 @@ TOTALS = ("자산총계", "부채총계", "자본총계")
 
 _PERIOD_RE = re.compile(r"^\d{8}(-\d{8})?$")
 _REPORT_NM_RE = re.compile(r"\((\d{4})\.(\d{2})\)")
-_ENTITY_RE = re.compile(r"entity(\d{8})")
 _PERIODIC_RE = re.compile(r"(반기보고서|분기보고서|사업보고서)")
 
 
@@ -116,21 +112,14 @@ def parse_mini_xbrl(html: bytes) -> tuple[str | None, dict | None]:
       columns: [[date_str, [fs_str]], ...]   # may repeat, may be junk
       rows:    [{concept_id, label_ko, label_en, class1..3,
                  values: [cell per column]}, ...]
-    The kernel's job is the wide→long unpivot (xbrl_processor.py:505-745)."""
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(html))
-        names = sorted(n for n in zf.namelist() if n.endswith(".xbrl"))
-        if not names:
-            return None, None
-        member = names[0]
-        m = _ENTITY_RE.search(member)
-        corp_code = m.group(1) if m else None
-        doc = json.loads(zf.read(member).decode("utf-8"))
-        if doc.get("doc_format") != "mini-xbrl-2":
-            return None, None
-        return corp_code, doc
-    except Exception:
-        return None, None
+    The kernel's job is the wide→long unpivot (xbrl_processor.py:505-745).
+
+    Dispatch lives in doc_parsers.parse_document (format sniff →
+    registry): the same call also understands real XBRL 2.1 instance
+    XML members, so the oracle and the kernel share one seam."""
+    from . import doc_parsers
+
+    return doc_parsers.parse_document(html)
 
 
 def extract_facts_rowwise(
@@ -354,12 +343,15 @@ def sequential_schedule(
     seeds: list[dict],
     per_corp_cap: int = 5,
     page_size: int = 100,
+    window: tuple[str, str] | None = None,
 ) -> list[str]:
     """The reference's visit order: corps in seed_rank order (corp-major
     loop); within a corp, disclosures date-desc (API `sort=date desc`),
     page-1 truncation at ``page_size``, then the ``[:per_corp_cap]``
     slice.  Ties on rcept_dt break by rcept_no desc (explicit, for
-    reproducibility).  Returns the ordered list of rcept_no visited."""
+    reproducibility).  ``window=(bgn_de, end_de)`` models the API-side
+    date-range params (dart_api_manager.py:220-243): it filters BEFORE
+    truncation, like the API does.  Returns the ordered rcept_no list."""
     by_corp: dict[str, list[dict]] = {}
     corp_order: list[str] = []
     for s in sorted(seeds, key=lambda s: s["seed_rank"]):
@@ -373,6 +365,10 @@ def sequential_schedule(
         disclosures = [
             s for s in by_corp[c] if is_periodic_report(s.get("report_nm") or "")
         ]
+        if window is not None:
+            disclosures = [
+                s for s in disclosures if window[0] <= s["rcept_dt"] <= window[1]
+            ]
         disclosures.sort(key=lambda s: (s["rcept_dt"], s["rcept_no"]), reverse=True)
         disclosures = disclosures[:page_size][:per_corp_cap]
         visits.extend(s["rcept_no"] for s in disclosures)

@@ -879,3 +879,132 @@ def q42(spark, sf):
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+# =====================================================================
+# MinHash-LSH, md5-hashed twin — the SAME shingle→signature→band→
+# candidate pipeline as q30, with every hash derived from md5 (first
+# 15 hex digits → 60-bit int) instead of xxhash64, so DuckDB can run
+# it verbatim and the driver can hash-verify the full banded-LSH
+# dataflow (q30 keeps the cheaper xxhash64 production path).
+# =====================================================================
+_PER_BAND = N_MINHASH // N_BANDS
+
+
+def _md5h(col, seed) -> F.Column:
+    """Portable 60-bit hash: conv(substr(md5(x || '|seed'), 1, 15), 16, 10).
+    15 hex digits keep the value positive inside a signed int64 on both
+    engines (DuckDB: CAST('0x…' AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"|{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _q47_sql() -> str:
+    h = (
+        lambda expr, seed: "CAST(CONCAT('0x', substr(md5("
+        + expr
+        + f" || '|{seed}'),1,15)) AS BIGINT)"
+    )
+    sig_cols = ",\n         ".join(
+        f"MIN({h('sh', i)}) AS h{i}" for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cat = " || ',' || ".join(
+            f"CAST(h{b * _PER_BAND + j} AS VARCHAR)" for j in range(_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {h('(' + cat + ')', 99)} AS bucket FROM sig"
+        )
+    bands = "\n  UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE doc_id % 4 = 0),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, i, i + 4), ' ') AS sh
+      FROM toks, UNNEST(range(1, GREATEST(len(tk) - 4, 1) + 1)) AS t(i)),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT c.a_id, c.b_id,
+           ROUND(({matches}) / 32.0, 4) AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    """
+
+
+@query("q47_minhash_md5_lsh", _q47_sql())
+def q47(spark, sf):
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
+    ex = _exploded_shingles(d)
+    sigs = ex.groupBy("doc_id").agg(
+        *[F.min(_md5h(F.col("sh"), i)).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _md5h(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * _PER_BAND + j}").cast("string")
+                        for j in range(_PER_BAND)
+                    ],
+                ),
+                99,
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)])
+    bands = sigs.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "sig",
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band", "bucket", F.col("sig").alias("a_sig")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), "band", "bucket", F.col("sig").alias("b_sig")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+                lambda z: z,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))

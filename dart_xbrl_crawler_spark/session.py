@@ -73,6 +73,9 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # no \r progress spam on stdout: harness output is parsed from
+        # the process tail — progress bars can push the result line out
+        .config("spark.ui.showConsoleProgress", "false")
         # keep partition-dir values as strings: corp_code=00000037 must
         # NOT read back as int 37 (zero-padded codes are an invariant,
         # /root/reference/xbrl_processor.py:274)

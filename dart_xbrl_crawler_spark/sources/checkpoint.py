@@ -279,6 +279,128 @@ class MergeTable:
         )
 
 
+class BucketedMergeTable:
+    """MergeTable semantics with the BASE stored as a bucketed table
+    (bucketBy(n_buckets, key), sorted by key) — the 10^10-row layout:
+
+    * merge-on-read never shuffles the base.  read() is
+      ``base LEFT ANTI latest_delta_keys ∪ latest_delta_rows``: the
+      base side scans its bucket layout in place (EnsureRequirements
+      shuffles only the small delta side to match the base's
+      HashPartitioning), and the delta chain — O(rounds × |round|)
+      rows between compactions — is the only thing that ever moves.
+      The plain MergeTable's groupBy-max_by formulation instead
+      re-shuffles the FULL table on every read.
+    * deltas stay an append-only SnapshotTable chain (O(|round|) bytes
+      per commit, crash-safe manifest), exactly as before.
+    * compact() folds everything into a fresh bucketed base and resets
+      the delta chain.
+
+    Iceberg analog: ``bucket(N, url_hash)`` hidden partitioning with
+    merge-on-read deletes + storage-partitioned joins; this is the same
+    layout expressed through Spark's bucketed-table catalog."""
+
+    def __init__(
+        self,
+        path: str,
+        table_prefix: str,
+        key: str = "url_hash",
+        n_buckets: int = 64,
+        compact_every: int = 16,
+    ):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.table_prefix = table_prefix
+        self.key = key
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+        self.deltas = SnapshotTable(os.path.join(path, "deltas"))
+
+    @property
+    def _bases_path(self) -> str:
+        return os.path.join(self.path, "BASES.json")
+
+    def _bases(self) -> list[dict]:
+        if not os.path.exists(self._bases_path):
+            return []
+        with open(self._bases_path) as f:
+            return json.load(f)["bases"]
+
+    def _publish_bases(self, bases: list[dict]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".bases.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"bases": bases}, f, indent=1)
+        os.replace(tmp, self._bases_path)
+
+    # -- commits --------------------------------------------------------
+    def commit_base(self, df: DataFrame, note: str = "") -> str:
+        from .bucketed import write_bucketed
+
+        bases = self._bases()
+        seq = (bases[-1]["seq"] + 1) if bases else 0
+        tbl = f"{self.table_prefix}_base_{seq:06d}"
+        write_bucketed(
+            df, tbl, key=self.key, n_buckets=self.n_buckets, sorted_by=self.key
+        )
+        self._publish_bases(bases + [{"table": tbl, "seq": seq, "note": note}])
+        # base published → the delta chain it supersedes resets
+        self.deltas._publish([])
+        self.deltas._gc_orphans(__import__("shutil"))
+        return tbl
+
+    def commit_delta(self, spark: SparkSession, df: DataFrame, note: str = "") -> str:
+        snap = self.deltas.commit(df, note=note, kind="delta")
+        if len(self.deltas.snapshots()) > self.compact_every:
+            self.compact(spark, note=f"auto-compact after {note}")
+        return snap
+
+    # -- read (merge-on-read, base never shuffles) ----------------------
+    def _latest_delta(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        snaps = self.deltas.snapshots()
+        if not snaps:
+            return None
+        parts = [
+            self.deltas.read(spark, s["id"]).withColumn("_seq", F.lit(int(s["seq"])))
+            for s in snaps
+        ]
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        cols = [c for c in allp.columns if c not in ("_seq", self.key)]
+        return allp.groupBy(self.key).agg(
+            *[F.max_by(F.col(c), F.col("_seq")).alias(c) for c in cols]
+        ).select(self.key, *cols)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        bases = self._bases()
+        if not bases:
+            raise FileNotFoundError(f"no base snapshot at {self.path}")
+        base = spark.table(bases[-1]["table"])
+        latest = self._latest_delta(spark)
+        if latest is None:
+            return base
+        # base-side zero Exchange: the anti-join reuses the bucket
+        # layout; only `latest` (small) shuffles to match it
+        return base.join(
+            latest.select(self.key), self.key, "left_anti"
+        ).unionByName(latest.select(*base.columns))
+
+    def compact(self, spark: SparkSession, note: str = "compact") -> str:
+        tbl = self.commit_base(self.read(spark), note=note)
+        # retention: drop superseded base tables (keep the new one)
+        bases = self._bases()
+        for b in bases[:-1]:
+            spark.sql(f"DROP TABLE IF EXISTS {b['table']}")
+        self._publish_bases(bases[-1:])
+        return tbl
+
+    def snapshots(self) -> list[dict]:
+        return [dict(kind="base", id=b["table"], **{k: b[k] for k in ("seq", "note")})
+                for b in self._bases()] + self.deltas.snapshots()
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is on the classpath (not in this
     sandbox; on a real cluster pass --packages org.apache.iceberg:…)."""

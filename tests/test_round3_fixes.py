@@ -296,3 +296,226 @@ def test_expire_never_drops_reachable_state(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+# ------------------------------------------- date-window targeting
+def test_date_window_arithmetic():
+    from dart_xbrl_crawler_spark.operators.scheduler import date_window
+
+    # explicit bgn/end wins when both given
+    assert date_window("2026-01-16", 6, "20250101", "20250630") == (
+        "20250101",
+        "20250630",
+    )
+    # months_back*30 days from the injected run_ts (reference arithmetic)
+    assert date_window("2026-01-16 00:00:00", 2) == ("20251117", "20260116")
+    assert date_window("2026-01-16", None) is None
+
+
+def test_date_window_ordering_matches_reference_model(spark, fixture_bundle):
+    from dart_xbrl_crawler_spark import fixtures, oracle
+    from dart_xbrl_crawler_spark.operators import scheduler as SCH
+    from dart_xbrl_crawler_spark.schemas import SEEDS
+
+    _, seeds, _, _ = fixture_bundle
+    win = SCH.date_window(fixtures.RUN_TS, months_back=2)
+    sched = SCH.reference_schedule(
+        spark.createDataFrame(seeds, schema=SEEDS), window=win
+    )
+    got = [r["rcept_no"] for r in sched.orderBy("visit_rank").collect()]
+    want = oracle.sequential_schedule(seeds.to_dict("records"), window=win)
+    assert got == want
+    # the window genuinely excludes seeds (fixture spans 2025-03..12)
+    full = oracle.sequential_schedule(seeds.to_dict("records"))
+    assert 0 < len(got) < len(full)
+    assert all(r in full for r in got)
+
+
+# ---------------------------------------------- XBRL-XML parser seam
+_XBRL_XML = """<?xml version="1.0" encoding="utf-8"?>
+<xbrl xmlns="http://www.xbrl.org/2003/instance"
+      xmlns:ifrs-full="http://xbrl.ifrs.org/taxonomy/2021-03-24/ifrs-full">
+  <context id="CI"><entity><identifier scheme="s">00000042</identifier></entity>
+    <period><instant>2025-06-30</instant></period></context>
+  <context id="CIS"><period><instant>2025-06-30</instant></period>
+    <scenario><explicitMember dimension="d">SeparateMember</explicitMember></scenario></context>
+  <context id="CD"><period><startDate>2025-04-01</startDate><endDate>2025-06-30</endDate></period></context>
+  <context id="COLD"><period><instant>2024-06-30</instant></period></context>
+  <ifrs-full:Assets contextRef="CI" decimals="0">5000000</ifrs-full:Assets>
+  <ifrs-full:Assets contextRef="CIS" decimals="0">4000000</ifrs-full:Assets>
+  <ifrs-full:Assets contextRef="COLD" decimals="0">1</ifrs-full:Assets>
+  <ifrs-full:Equity contextRef="CI" decimals="0">2500000</ifrs-full:Equity>
+  <ifrs-full:Revenue contextRef="CD" decimals="0">777000</ifrs-full:Revenue>
+</xbrl>"""
+
+
+def _xml_zip() -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo(
+            "entity00000042_2025-06-30.xbrl", date_time=(2026, 1, 1, 0, 0, 0)
+        )
+        zf.writestr(info, _XBRL_XML)
+    return buf.getvalue()
+
+
+def test_xbrl_xml_byte_identity_through_kernel(spark):
+    """A real XBRL 2.1 instance ZIP flows through BOTH the oracle and
+    the vectorized kernel via the doc_parsers seam — byte-identical
+    extracted text, and the out-of-period 2024 column drops."""
+    from dart_xbrl_crawler_spark import oracle
+    from dart_xbrl_crawler_spark.operators import extract as X
+
+    url = "https://dart.fss.or.kr/api/fnlttXbrl.xml?rcept_no=x1"
+    html = _xml_zip()
+    report_nm, rcept_dt = "반기보고서 (2025.06)", "20250615"
+    golden = oracle.extract_text_rowwise(url, html, report_nm, rcept_dt, RUN_TS)
+    assert golden  # non-empty facts TSV
+    assert "5000000" in golden and "777000" in golden
+    assert "\t1.0\t" not in golden  # 2024 instant filtered by period
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": url,
+                    "html": html,
+                    "report_nm": report_nm,
+                    "rcept_dt": rcept_dt,
+                }
+            ]
+        ),
+        schema="url string, html binary, report_nm string, rcept_dt string",
+    )
+    rows = X.extract_text(df, RUN_TS).collect()
+    assert len(rows) == 1 and rows[0]["parse_ok"]
+    assert rows[0]["text"] == golden
+
+
+# ------------------------------------------------ bucketed MergeTable
+def test_bucketed_merge_table_last_wins_and_no_base_shuffle(spark, tmp_path):
+    from dart_xbrl_crawler_spark.sources.checkpoint import BucketedMergeTable
+
+    prefix = "t" + str(abs(hash(str(tmp_path))) % 10**8)
+    bt = BucketedMergeTable(
+        str(tmp_path / "b"), table_prefix=prefix, key="k", n_buckets=8,
+        compact_every=100,
+    )
+    base = spark.createDataFrame([(i, "a") for i in range(500)], "k long, v string")
+    bt.commit_base(base, note="base")
+    bt.commit_delta(
+        spark, spark.createDataFrame([(i, "b") for i in range(50)], "k long, v string")
+    )
+    bt.commit_delta(
+        spark,
+        spark.createDataFrame([(0, "c"), (600, "new")], "k long, v string"),
+    )
+    merged = bt.read(spark)
+    rows = {r["k"]: r["v"] for r in merged.collect()}
+    assert len(rows) == 501
+    assert rows[0] == "c" and rows[1] == "b" and rows[499] == "a" and rows[600] == "new"
+    # plan shape under a forced shuffle join (disable broadcast so the
+    # 10^10-row-scale strategy is the one planned): the base scan keeps
+    # its bucket layout and is never re-shuffled — every Exchange in
+    # the plan belongs to the small delta subtree (union of delta scans
+    # → groupBy, → join-side distribution).
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = bt.read(spark)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "Bucketed: true" in plan
+    base_scan = [
+        ln for ln in plan.splitlines() if prefix in ln and "Scan parquet" in ln
+    ]
+    assert base_scan, plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, plan
+
+    # compaction folds into a fresh bucketed base and drops old tables
+    bt.compact(spark)
+    assert len(bt.deltas.snapshots()) == 0
+    rows2 = {r["k"]: r["v"] for r in bt.read(spark).collect()}
+    assert rows2 == rows
+
+
+def test_frontier_store_bucketed_storage_e2e(spark, fixture_bundle, tmp_path):
+    """FrontierStore on bucketed storage reproduces the parquet-backed
+    behavior across bootstrap + rounds."""
+    from dart_xbrl_crawler_spark import fixtures
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark.operators.scheduler import seeds_to_frontier
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS, SEEDS
+
+    pages, seeds, _, robots = fixture_bundle
+    seeds_df = spark.createDataFrame(seeds, schema=SEEDS)
+    pages_df = spark.createDataFrame(pages, schema=PAGES)
+    robots_df = spark.createDataFrame(robots, schema=ROBOTS)
+
+    stores = {}
+    for storage in ("parquet", "bucketed"):
+        store = FrontierStore(
+            str(tmp_path / storage), n_bloom_shards=8, storage=storage,
+            n_buckets=8,
+        )
+        store.bootstrap(seeds_to_frontier(seeds_df), fixtures.RUN_TS)
+        for rid in range(2):
+            store.run_round(
+                spark, pages_df, robots_df, fixtures.RUN_TS, round_id=rid,
+                round_ms=120_000,
+            )
+        stores[storage] = store
+    assert (
+        stores["parquet"].state_counts(spark)
+        == stores["bucketed"].state_counts(spark)
+    )
+
+
+# ----------------------------------------------------- wav PCM decode
+def test_extract_audio_stats_real_pcm(spark):
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators import multimodal as MM
+
+    def wav_bytes(freq, sr=8000, dur=0.25, amp=0.5):
+        n = int(sr * dur)
+        x = (amp * np.sin(2 * np.pi * freq * np.arange(n) / sr) * 32767).astype(
+            "<i2"
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    rows = pd.DataFrame(
+        {
+            "url": ["w1", "w2", "png1"],
+            "html": [
+                wav_bytes(440.0),
+                wav_bytes(220.0, dur=0.5),
+                b"\x89PNG\r\n\x1a\n" + b"\0" * 32,
+            ],
+        }
+    )
+    out = {
+        r["url"]: r
+        for r in MM.extract_audio_stats(
+            spark.createDataFrame(rows, schema="url string, html binary")
+        ).collect()
+    }
+    assert set(out) == {"w1", "w2"}  # png filtered JVM-side
+    assert abs(out["w1"]["duration_s"] - 0.25) < 1e-9
+    assert abs(out["w2"]["duration_s"] - 0.5) < 1e-9
+    assert abs(out["w1"]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert out["w1"]["sample_rate"] == 8000 and out["w1"]["n_channels"] == 1
