@@ -3,10 +3,13 @@ dedup (exact, fingerprint, shingles, MinHash-LSH, SimHash), text
 analysis (lang-id, quality, tokens), similarity search (brute-force
 cosine top-k, LSH ANN, near-dup pairs).
 
-Same conventions as catalog.py.  MinHash/SimHash/ANN-LSH are genuinely
-non-SQL-expressible in DuckDB-portable form (xxhash64-based) → no
-oracle entry; the driver records rows-only checks and pytest covers
-their semantics.
+Same conventions as catalog.py.  The xxhash64-based production paths
+(q30 MinHash, q31/q43 SimHash, q33 ANN) are not DuckDB-portable and
+stay rows-only — but each has a HASH-VERIFIED twin running the
+identical pipeline in portable form: q47 (md5-MinHash-LSH), q48
+(md5-SimHash + hamming bands), q49 (ANN sign-LSH with the planes,
+bucket expression and multi-probe set expressed in SQL).  Only q40
+(approx_count_distinct — inherently approximate) has no exact oracle.
 """
 
 from __future__ import annotations
@@ -1008,3 +1011,131 @@ def q47(spark, sf):
         / N_MINHASH
     )
     return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+
+
+# =====================================================================
+# SimHash, md5-hashed twin — same 16-bit majority-vote signature and
+# pigeonhole hamming-band pairing as q31/q43, with the token hash
+# derived from md5 so DuckDB can verify the WHOLE pipeline by hash
+# (q31/q43 keep the cheaper xxhash64 production path).
+# =====================================================================
+def _q48_sql() -> str:
+    h = "CAST(CONCAT('0x', substr(md5(tok || '|0'),1,15)) AS BIGINT)"
+    bsum = ",\n             ".join(
+        f"SUM(CASE WHEN (th & {2**i}) != 0 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n_tok THEN {2**i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents WHERE doc_id % 4 = 0)),
+    th AS (SELECT doc_id, {h} AS th FROM toks),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             {bsum}
+      FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash16 FROM agg),
+    bands AS (
+      SELECT doc_id, simhash16, band,
+             (simhash16 >> (band * 4)) & 15 AS band_bits
+      FROM sig, (VALUES (0), (1), (2), (3)) AS t(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash16 AS a_sig, b.simhash16 AS b_sig
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_bits = b.band_bits
+       AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
+    """
+
+
+@query("q48_simhash_md5_pairs", _q48_sql())
+def q48(spark, sf):
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("tok"),
+    ).withColumn("th", _md5h(F.col("tok"), 0))
+    aggs = [F.count("*").alias("n_tok")] + [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(int(2**i))) != 0, 1).otherwise(0)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(int(2**i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = per_doc.select("doc_id", sim.alias("simhash16"))
+    return simhash_pairs(sigs)
+
+
+# =====================================================================
+# ANN sign-LSH, oracle-verifiable form — the SAME deterministic
+# hyperplanes, bucket expression and radius-2 multi-probe as q33,
+# expressed so DuckDB can run it verbatim: plane weights inlined as
+# list literals, the query bucket and its probe set computed IN SQL
+# (bit tricks over the 8 sign bits).  No hashes involved — q33 was
+# rows-only simply because nobody had written the SQL.
+# =====================================================================
+def _q49_sql(n_planes: int = 8, dim: int = 64) -> str:
+    planes = _lsh_planes(n_planes, dim)
+    plane_rows = ",\n        ".join(
+        f"({p}, {[round(w, 12) for w in planes[p]]})" for p in range(n_planes)
+    )
+    return f"""
+    WITH planes(p, w) AS (VALUES
+        {plane_rows}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    qbits AS (
+      SELECT CAST(SUM(CASE WHEN list_dot_product((SELECT qv FROM q), w) >= 0
+                      THEN 1 << p ELSE 0 END) AS BIGINT) AS qb
+      FROM planes),
+    radius_masks AS (
+      SELECT DISTINCT
+             xor((SELECT qb FROM qbits),
+                 CAST((CASE WHEN a.p >= 0 THEN 1 << a.p ELSE 0 END)
+                    | (CASE WHEN b.p >= 0 THEN 1 << b.p ELSE 0 END) AS BIGINT))
+               AS probe
+      FROM (SELECT p FROM planes UNION ALL SELECT -1) a,
+           (SELECT p FROM planes UNION ALL SELECT -1) b
+      WHERE a.p <= b.p OR a.p = -1 OR b.p = -1),
+    bucketed AS (
+      SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb,
+             (SELECT CAST(SUM(CASE WHEN
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), w) >= 0
+               THEN 1 << p ELSE 0 END) AS BIGINT) FROM planes) AS bucket
+      FROM embeddings e),
+    cand AS (
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(emb, (SELECT qv FROM q)), 4) AS sim
+      FROM bucketed
+      WHERE bucket IN (SELECT probe FROM radius_masks)
+        AND vec_id <> (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, label, sim FROM cand
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("q49_ann_lsh_sql", _q49_sql())
+def q49(spark, sf):
+    return ann_sign_lsh(_t(spark, sf, "embeddings"))

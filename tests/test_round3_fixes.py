@@ -519,3 +519,38 @@ def test_extract_audio_stats_real_pcm(spark):
     assert abs(out["w2"]["duration_s"] - 0.5) < 1e-9
     assert abs(out["w1"]["rms"] - 0.5 / math.sqrt(2)) < 0.01
     assert out["w1"]["sample_rate"] == 8000 and out["w1"]["n_channels"] == 1
+
+
+def test_run_round_reads_table_exactly_once(spark, fixture_bundle, tmp_path, monkeypatch):
+    """The only O(|frontier|) work in a round is the pop's own scan:
+    run_round must call table.read exactly once (round 1 re-read the
+    merged table for the changed-rows join AND the metrics; both now
+    derive from the round's own cached frames)."""
+    from dart_xbrl_crawler_spark import fixtures
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark.operators.scheduler import seeds_to_frontier
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS, SEEDS
+    from dart_xbrl_crawler_spark.sources.checkpoint import MergeTable
+
+    pages, seeds, _, robots = fixture_bundle
+    store = FrontierStore(str(tmp_path / "f3"), n_bloom_shards=8)
+    store.bootstrap(
+        seeds_to_frontier(spark.createDataFrame(seeds, schema=SEEDS)),
+        fixtures.RUN_TS,
+    )
+    calls = {"n": 0}
+    orig = MergeTable.read
+
+    def counting_read(self, spark_):
+        calls["n"] += 1
+        return orig(self, spark_)
+
+    monkeypatch.setattr(MergeTable, "read", counting_read)
+    store.run_round(
+        spark,
+        spark.createDataFrame(pages, schema=PAGES),
+        spark.createDataFrame(robots, schema=ROBOTS),
+        fixtures.RUN_TS,
+        round_id=0,
+    )
+    assert calls["n"] == 1, f"run_round read the table {calls['n']} times"
