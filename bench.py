@@ -199,7 +199,7 @@ def _wait_quiet(lo: int, hi: int, max_probes: int = 2) -> float:
     ≤ max_probes re-probes of 30 s each, and never past the budget."""
     sp = _quick_alloc_speedup(lo, hi)
     for _ in range(max_probes):
-        if sp >= 3.2 or _remaining() < 200:
+        if sp >= 3.0 or _remaining() < 200:
             break
         print(f"host contended (alloc speedup {sp:.2f}); waiting", file=sys.stderr)
         time.sleep(30)
@@ -291,11 +291,19 @@ def main() -> None:
     throughput: dict
     try:
         # hard cap: in a collapsed co-tenant window this run can take
-        # 4x its quiet-window time — kill it and let the scaling hi
-        # runs (same workload) supply the headline numbers instead
-        main_r = _crawl_subprocess(
-            crawl_cores, pages_dir, n_urls, min(180.0, _remaining())
-        )
+        # 4x its quiet-window time — kill it and retry once at 8 workers
+        # (fewer python procs = far less exposed to co-tenant thrash);
+        # the scaling hi runs can still supply better numbers later
+        try:
+            main_r = _crawl_subprocess(
+                crawl_cores, pages_dir, n_urls, min(180.0, _remaining())
+            )
+        except subprocess.TimeoutExpired:
+            print("main crawl timed out; retrying at 8 workers", file=sys.stderr)
+            crawl_cores = 8
+            main_r = _crawl_subprocess(
+                crawl_cores, pages_dir, n_urls, min(200.0, _remaining())
+            )
         timings["crawl_insert"] = round(main_r["t_ins"], 3)
         timings["crawl_frontier_pop"] = round(main_r["t_pop"], 3)
         timings["crawl_extract"] = round(main_r["t_ext"], 3)
