@@ -212,7 +212,11 @@ class CrawlBench:
         canon.unpersist()
         return n
 
-    POP_MULT = 8  # pop frontier = POP_MULT × n_urls (see pop_job)
+    # pop frontier = POP_MULT × n_urls (see pop_job).  4 is the budget
+    # sweet spot: the efficiency reading is within noise of 8× (variable
+    # work already dominates the ~4 s of stage constants at 8 M rows)
+    # while the 2-core leg stays inside the campaign's subprocess cap.
+    POP_MULT = 4
 
     def _pop_frontier(self):
         """The pop stage's input: a stored-frontier stand-in MUCH larger
