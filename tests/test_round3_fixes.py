@@ -554,3 +554,42 @@ def test_run_round_reads_table_exactly_once(spark, fixture_bundle, tmp_path, mon
         round_id=0,
     )
     assert calls["n"] == 1, f"run_round read the table {calls['n']} times"
+
+
+def test_cli_bootstrap_date_window(spark, fixture_bundle, tmp_path, monkeypatch):
+    """`bootstrap --months-back` limits the seeded frontier exactly like
+    the reference's MONTHS_BACK knob (applied before the per-corp cap)."""
+    from dart_xbrl_crawler_spark import cli, fixtures, oracle
+    from dart_xbrl_crawler_spark.operators.scheduler import date_window
+    from dart_xbrl_crawler_spark.schemas import SEEDS
+
+    # reuse the test session; the CLI normally owns (and stops) its own
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    _, seeds, _, _ = fixture_bundle
+    seeds_path = str(tmp_path / "seeds")
+    spark.createDataFrame(seeds, schema=SEEDS).write.parquet(seeds_path)
+    store_path = str(tmp_path / "store")
+    rc = cli.main(
+        [
+            "--run-ts", fixtures.RUN_TS,
+            "bootstrap",
+            "--seeds", seeds_path,
+            "--store", store_path,
+            "--months-back", "2",
+        ]
+    )
+    assert rc == 0
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    store = FrontierStore(store_path)
+    want = oracle.sequential_schedule(
+        seeds.to_dict("records"),
+        window=date_window(fixtures.RUN_TS, months_back=2),
+    )
+    got = {
+        r["seed_rcp_no"]
+        for r in store.table.read(spark).select("seed_rcp_no").collect()
+    }
+    assert got == set(want) and got  # windowed, non-empty
