@@ -593,3 +593,63 @@ def test_cli_bootstrap_date_window(spark, fixture_bundle, tmp_path, monkeypatch)
         for r in store.table.read(spark).select("seed_rcp_no").collect()
     }
     assert got == set(want) and got  # windowed, non-empty
+
+
+def test_robots_from_pages_closes_the_loop(spark):
+    """Fetched /robots.txt pages become next round's rules dim: latest
+    fetch per host wins; non-robots pages never reach the parser."""
+    rows = pd.DataFrame(
+        {
+            "url": [
+                "https://a.example/robots.txt",
+                "https://a.example/robots.txt",   # older duplicate
+                "https://b.example/robots.txt",
+                "https://a.example/page.html",    # not robots
+            ],
+            "html": [
+                b"User-agent: *\nDisallow: /new\nCrawl-delay: 2\n",
+                b"User-agent: *\nDisallow: /old\n",
+                b"User-agent: *\nDisallow: /*.pdf$\n",
+                b"<html>hi</html>",
+            ],
+            "warc_ts": pd.to_datetime(
+                ["2026-01-02", "2026-01-01", "2026-01-01", "2026-01-02"]
+            ),
+        }
+    )
+    pages = spark.createDataFrame(
+        rows, schema="url string, html binary, warc_ts timestamp"
+    )
+    dim = {r["host"]: r for r in P.robots_from_pages(pages).collect()}
+    assert set(dim) == {"a.example", "b.example"}
+    a = dim["a.example"]
+    assert [ru["prefix"] for ru in a["rules"]] == ["/new"]  # latest wins
+    assert a["crawl_delay_ms"] == 2000
+    b = dim["b.example"]
+    assert b["rules"][0]["pattern"] is not None  # wildcard rule compiled
+
+    # and the dim gates a frontier end-to-end
+    from dart_xbrl_crawler_spark.functions.urls import with_url_canon
+
+    frontier = with_url_canon(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://a.example/new/x",
+                        "https://a.example/okay",
+                        "https://b.example/doc.pdf",
+                    ]
+                }
+            )
+        )
+    )
+    got = {
+        r["url"]: r["robots_blocked"]
+        for r in P.apply_robots(frontier, P.robots_from_pages(pages)).collect()
+    }
+    assert got == {
+        "https://a.example/new/x": True,
+        "https://a.example/okay": False,
+        "https://b.example/doc.pdf": True,
+    }
