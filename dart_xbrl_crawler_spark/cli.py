@@ -73,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--corp-map", required=True)
     x.add_argument("--out", required=True)
 
+    c = sub.add_parser("crawl")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--robots", required=True)
+    c.add_argument("--store", required=True)
+    c.add_argument("--max-rounds", type=int, default=5)
+    c.add_argument("--round-ms", type=int, default=60_000)
+    c.add_argument("--no-discover", action="store_true",
+                   help="skip link discovery between rounds")
+
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
 
@@ -120,6 +129,18 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "crawl":
+        store = FrontierStore(args.store)
+        rounds = store.run_crawl(
+            spark,
+            spark.read.parquet(args.pages),
+            spark.read.parquet(args.robots),
+            args.run_ts,
+            max_rounds=args.max_rounds,
+            round_ms=args.round_ms,
+            discover=not args.no_discover,
+        )
+        print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":
         pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds)

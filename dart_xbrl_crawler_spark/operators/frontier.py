@@ -343,6 +343,71 @@ class FrontierStore:
         self._prev_fetched = fetched  # released at the next round's start
         return snap, fetched_pages
 
+    # -- the full crawl loop -------------------------------------------
+    def run_crawl(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        run_ts: str,
+        max_rounds: int = 5,
+        round_ms: int = 60_000,
+        salt_buckets: int = 32,
+        max_per_host: int | None = None,
+        n_partitions: int = 32,
+        discover: bool = True,
+    ) -> list[dict]:
+        """The reference's main orchestration loop (crawl → extract →
+        repeat, /root/reference/lambda_function.py:133-221) as a
+        frontier-driven iteration: pop a politeness-bounded batch,
+        'fetch' it, DISCOVER links from the fetched html (extract_links
+        — pure Catalyst) and insert them as the next depth, until the
+        queue drains or ``max_rounds``.  Each round is one delta commit;
+        a kill anywhere resumes from the last published snapshot.
+        Returns per-round summaries (lineage counters)."""
+        from ..functions.links import extract_links
+
+        summaries: list[dict] = []
+        for rid in range(max_rounds):
+            # O(|metrics|) queue check — never a frontier scan
+            if self.lineage_counts(spark).get("queued", 0) == 0:
+                break
+            snap, fetched_pages = self.run_round(
+                spark,
+                pages,
+                robots,
+                run_ts,
+                round_id=rid,
+                round_ms=round_ms,
+                salt_buckets=salt_buckets,
+                max_per_host=max_per_host,
+                n_partitions=n_partitions,
+            )
+            n_fetched = fetched_pages.count()
+            n_ins = n_dup = 0
+            if discover and n_fetched:
+                discovered = (
+                    extract_links(fetched_pages.select("url", "html"))
+                    .select(F.col("link").alias("url"))
+                    .distinct()
+                    .withColumn("priority", F.lit(0.0))
+                )
+                _, n_ins, n_dup = self.insert(
+                    spark, discovered, run_ts, depth=rid + 1
+                )
+            summaries.append(
+                {
+                    "round_id": rid,
+                    "snapshot": snap,
+                    "fetched": n_fetched,
+                    "discovered_new": n_ins,
+                    "discovered_dup": n_dup,
+                }
+            )
+            if n_fetched == 0 and n_ins == 0:
+                break  # starved round and nothing new → stop
+        return summaries
+
     def state_counts(self, spark: SparkSession) -> dict[str, int]:
         """EXACT per-state counts — one full scan of the merged table.
         Diagnostic surface (cheap at test scale, honest after manual

@@ -1139,3 +1139,76 @@ def _q49_sql(n_planes: int = 8, dim: int = 64) -> str:
 @query("q49_ann_lsh_sql", _q49_sql())
 def q49(spark, sf):
     return ann_sign_lsh(_t(spark, sf, "embeddings"))
+
+
+# =====================================================================
+# link extraction + resolution (crawl discovery edge) — pages are
+# synthesized identically inside both queries (the driver's DuckDB
+# views have no html table), so the oracle verifies the operator:
+# href regex walk + absolute/root-relative/relative/protocol-relative
+# resolution + scheme-drop rules, per src page, deduped.
+# =====================================================================
+@query(
+    "q50_link_extract",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(o_custkey % 5 AS VARCHAR)
+               || '.ex/dir/page' || CAST(o_orderkey AS VARCHAR) || '.html'
+               AS src_url,
+             'h' || CAST(o_custkey % 5 AS VARCHAR) || '.ex' AS host,
+             '<a href="/abs/' || CAST(o_orderkey AS VARCHAR) || '">a</a>'
+             || '<a href="p' || CAST(o_orderkey % 7 AS VARCHAR) || '.html">b</a>'
+             || '<a href="https://ext.example/' || CAST(o_orderkey % 13 AS VARCHAR) || '">c</a>'
+             || '<a href="//cdn.example/x.js">d</a>'
+             || '<a href="mailto:x@y.example">e</a>'
+             || '<a href="#frag">f</a>' AS html
+      FROM orders WHERE o_orderkey % 20 = 0),
+    hrefs AS (
+      SELECT src_url, host,
+             UNNEST(regexp_extract_all(html, 'href="([^"#][^"]*)"', 1)) AS href
+      FROM pages),
+    resolved AS (
+      SELECT DISTINCT src_url,
+        CASE
+          WHEN lower(href) SIMILAR TO 'https?://.*' THEN href
+          WHEN href LIKE '//%' THEN 'https:' || href
+          WHEN href LIKE '/%' THEN 'https://' || host || href
+          WHEN lower(href) SIMILAR TO '(javascript:|mailto:|tel:|data:).*'
+            THEN NULL
+          WHEN lower(href) SIMILAR TO '[a-z][a-z0-9+.-]*:.*' THEN NULL
+          ELSE 'https://' || host || '/dir/' || href
+        END AS link
+      FROM hrefs)
+    SELECT link, CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM resolved WHERE link IS NOT NULL AND link LIKE '%.ex%'
+    GROUP BY link ORDER BY n_refs DESC, link LIMIT 50
+    """,
+)
+def q50(spark, sf):
+    from ..functions.links import extract_links
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".ex/dir/page"), F.col("o_orderkey").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="/abs/'), F.col("o_orderkey").cast("string"), F.lit('">a</a>'),
+        F.lit('<a href="p'), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('.html">b</a>'),
+        F.lit('<a href="https://ext.example/'),
+        (F.col("o_orderkey") % 13).cast("string"), F.lit('">c</a>'),
+        F.lit('<a href="//cdn.example/x.js">d</a>'),
+        F.lit('<a href="mailto:x@y.example">e</a>'),
+        F.lit('<a href="#frag">f</a>'),
+    )
+    pages = o.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    links = extract_links(pages)
+    return (
+        links.filter(F.col("link").contains(".ex"))
+        .groupBy("link")
+        .agg(F.count("*").alias("n_refs"))
+        .orderBy(F.col("n_refs").desc(), F.col("link").asc())
+        .limit(50)
+    )

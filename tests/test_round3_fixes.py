@@ -653,3 +653,65 @@ def test_robots_from_pages_closes_the_loop(spark):
         "https://a.example/okay": False,
         "https://b.example/doc.pdf": True,
     }
+
+
+# -------------------------------------- link discovery + crawl loop
+def test_extract_links_resolution(spark):
+    html = (
+        b'<a href="/abs/x">1</a><a href="rel.html">2</a>'
+        b'<a href="https://other.example/p">3</a>'
+        b'<a href="//cdn.example/js">4</a><a href="#frag">5</a>'
+        b'<a href="mailto:a@b">6</a><a href="ftp://x/y">7</a>'
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["https://site.example/dir/page.html"], "html": [html]}
+        ),
+        schema="url string, html binary",
+    )
+    from dart_xbrl_crawler_spark.functions.links import extract_links
+
+    got = {r["link"] for r in extract_links(pages).collect()}
+    assert got == {
+        "https://site.example/abs/x",
+        "https://site.example/dir/rel.html",
+        "https://other.example/p",
+        "https://cdn.example/js",
+    }
+
+
+def test_run_crawl_discovers_link_graph(spark, tmp_path):
+    """Seeded with page A; A links to B, B links to C — three budgeted
+    rounds fetch the whole chain via discovery inserts, with exact
+    lineage (1 fetched/round, dup self-links deduped)."""
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    def page(name, link_to=None):
+        body = f'<html><a href="/{link_to}">next</a></html>' if link_to else "<html>end</html>"
+        return (f"https://g.example/{name}", body.encode(), pd.Timestamp("2026-01-01"))
+
+    rows = pd.DataFrame(
+        [page("a", "b"), page("b", "c"), page("c")],
+        columns=["url", "html", "warc_ts"],
+    )
+    pages = spark.createDataFrame(
+        rows, schema="url string, html binary, warc_ts timestamp"
+    )
+    robots = spark.createDataFrame(
+        [("g.example", None, 100)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "g"), n_bloom_shards=8)
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://g.example/a"], "priority": [0.0]})
+    )
+    store.bootstrap(seeds, RUN_TS)
+    rounds = store.run_crawl(
+        spark, pages, robots, RUN_TS, max_rounds=5, round_ms=100_000
+    )
+    counts = store.state_counts(spark)
+    assert counts.get("fetched") == 3 and counts.get("queued", 0) == 0
+    assert [r["fetched"] for r in rounds] == [1, 1, 1]
+    assert [r["discovered_new"] for r in rounds] == [1, 1, 0]
+    lineage = store.lineage_counts(spark)
+    assert lineage["fetched"] == 3
