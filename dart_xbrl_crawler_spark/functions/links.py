@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 _HREF_RE = r'href="([^"#][^"]*)"'
 
 
+_MAX_DOT_DEPTH = 8
+
+
+def normalize_dot_segments(url: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal, bounded: '/./' collapses and
+    'seg/../' pairs cancel up to ``_MAX_DOT_DEPTH`` nesting levels (a
+    deeper chain is pathological input, not a real site's layout).
+    Chained regexp_replace — stays inside codegen, no UDF."""
+    # (?<!/)(?<!:) guards keep the '//' of the scheme and the authority
+    # out of reach — only PATH segments ever collapse
+    u = url
+    for _ in range(_MAX_DOT_DEPTH):
+        u = F.regexp_replace(u, r"(?<!/)(?<!:)/\./", "/")
+    u = F.regexp_replace(u, r"(?<!/)(?<!:)/\.$", "/")
+    for _ in range(_MAX_DOT_DEPTH):
+        # a non-'..' path segment followed by '/../' cancels
+        u = F.regexp_replace(u, r"(?<!/)(?<!:)/(?!\.\./)[^/]+/\.\./", "/")
+    u = F.regexp_replace(u, r"(?<!/)(?<!:)/(?!\.\./)[^/]+/\.\.$", "/")
+    return u
+
+
 def resolve_href(href: Column, scheme: Column, host: Column, base_dir: Column):
     """One href → absolute url (or null to drop).  ``base_dir`` is the
     base path up to and including the last '/'."""
@@ -29,13 +50,22 @@ def resolve_href(href: Column, scheme: Column, host: Column, base_dir: Column):
     return (
         F.when(lower.rlike("^https?://"), href)
         .when(lower.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(lower.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .when(
+            lower.startswith("/"),
+            normalize_dot_segments(
+                F.concat(scheme, F.lit("://"), host, href)
+            ),
+        )
         .when(
             lower.rlike("^(javascript:|mailto:|tel:|data:|#)"),
             F.lit(None).cast("string"),
         )
         .when(lower.rlike("^[a-z][a-z0-9+.-]*:"), F.lit(None).cast("string"))
-        .otherwise(F.concat(scheme, F.lit("://"), host, base_dir, href))
+        .otherwise(
+            normalize_dot_segments(
+                F.concat(scheme, F.lit("://"), host, base_dir, href)
+            )
+        )
     )
 
 

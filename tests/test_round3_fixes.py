@@ -715,3 +715,58 @@ def test_run_crawl_discovers_link_graph(spark, tmp_path):
     assert [r["discovered_new"] for r in rounds] == [1, 1, 0]
     lineage = store.lineage_counts(spark)
     assert lineage["fetched"] == 3
+
+
+def test_resolve_href_matches_urljoin_property(spark):
+    """Relative resolution (incl. ./ and ../ segments within root)
+    matches urllib.parse.urljoin on a generated case battery — one
+    batched Spark evaluation, not per-example sessions."""
+    import itertools
+    from urllib.parse import urljoin
+
+    from dart_xbrl_crawler_spark.functions.links import extract_links
+
+    dirs = ["/", "/a/", "/a/b/", "/a/b/c/"]
+    hrefs = [
+        "x.html", "./x.html", "sub/x", "sub/./x", "../x", "../../x",
+        "./../x", "sub/../x", "/rooted/y", "/rooted/../y", "d/",
+        "..", "x/..", "x/y/../../z",
+    ]
+    def climbs_above_root(d: str, h: str) -> bool:
+        raw = h if h.startswith("/") else d + h
+        bal = 0
+        for seg in raw.split("/"):
+            if seg in ("", "."):
+                continue
+            bal += -1 if seg == ".." else 1
+            if bal < 0:
+                return True
+        return False
+
+    cases = []
+    for d, h in itertools.product(dirs, hrefs):
+        base = f"https://p.example{d}page.html"
+        # skip above-root climbs: urljoin clamps at root, the engine's
+        # bounded normalizer intentionally leaves them visible
+        if climbs_above_root(d, h):
+            continue
+        cases.append((base, h, urljoin(base, h)))
+    assert len(cases) > 30
+    # one link per page; a unique query-string tag keys each case
+    rows2 = pd.DataFrame(
+        {
+            "url": [f"{c[0]}?case={i}" for i, c in enumerate(cases)],
+            "html": [f'<a href="{c[1]}">l</a>'.encode() for i, c in enumerate(cases)],
+        }
+    )
+    got2 = {
+        int(r["src_url"].split("case=")[1]): r["link"]
+        for r in extract_links(
+            spark.createDataFrame(rows2, schema="url string, html binary")
+        ).collect()
+    }
+    bad = []
+    for i, (base, h, want) in enumerate(cases):
+        if got2.get(i) != want:
+            bad.append((base, h, got2.get(i), want))
+    assert not bad, bad[:8]
