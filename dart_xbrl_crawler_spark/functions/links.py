@@ -77,8 +77,13 @@ def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     narrow; the href regex walk happens inside codegen."""
     from .urls import with_url_canon
 
-    src = pages.select("url", html_col)
+    keep = [
+        c for c in ("url", "url_canon", "host") if c in pages.columns
+    ] + [html_col]
+    src = pages.select(*keep)
     if "url_canon" not in src.columns:
+        # fetched pages already carry url_canon/host — don't re-run the
+        # canonicalizer python stage over them
         src = with_url_canon(src)
     html_text = F.decode(F.col(html_col), "UTF-8")
     scheme = F.regexp_extract(F.col("url_canon"), r"^([a-z][a-z0-9+.-]*):", 1)

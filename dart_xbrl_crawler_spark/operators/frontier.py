@@ -387,7 +387,9 @@ class FrontierStore:
             n_ins = n_dup = 0
             if discover and n_fetched:
                 discovered = (
-                    extract_links(fetched_pages.select("url", "html"))
+                    extract_links(
+                        fetched_pages.select("url", "url_canon", "host", "html")
+                    )
                     .select(F.col("link").alias("url"))
                     .distinct()
                     .withColumn("priority", F.lit(0.0))
