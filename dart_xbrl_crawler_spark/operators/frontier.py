@@ -369,8 +369,15 @@ class FrontierStore:
 
         summaries: list[dict] = []
         for rid in range(max_rounds):
-            # O(|metrics|) queue check — never a frontier scan
-            if self.lineage_counts(spark).get("queued", 0) == 0:
+            # O(|metrics|) queue check — never a frontier scan.  A store
+            # written before lineage metrics existed has no chain yet:
+            # fall back to the exact count once (its first round commits
+            # metrics and every later check is chain-based).
+            try:
+                queued = self.lineage_counts(spark).get("queued", 0)
+            except FileNotFoundError:
+                queued = self.state_counts(spark).get("queued", 0)
+            if queued == 0:
                 break
             snap, fetched_pages = self.run_round(
                 spark,
@@ -429,7 +436,7 @@ class FrontierStore:
         agg = {
             r["state"]: int(r["n"])
             for r in m.groupBy("state").agg(F.sum("n").alias("n")).collect()
-        }
+        }  # raises FileNotFoundError for a pre-metrics legacy store
         queued_in = agg.pop("queued", 0)
         out = {k: v for k, v in agg.items() if v}
         n_trans = sum(v for k, v in agg.items() if k != "deduped")

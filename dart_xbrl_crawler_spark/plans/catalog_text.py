@@ -1099,7 +1099,10 @@ def q48(spark, sf):
 def _q49_sql(n_planes: int = 8, dim: int = 64) -> str:
     planes = _lsh_planes(n_planes, dim)
     plane_rows = ",\n        ".join(
-        f"({p}, {[round(w, 12) for w in planes[p]]})" for p in range(n_planes)
+        # repr() round-trips doubles exactly — a rounded literal could
+        # flip a near-zero dot's sign and change bucket membership
+        f"({p}, [{', '.join(repr(w) for w in planes[p])}])"
+        for p in range(n_planes)
     )
     return f"""
     WITH planes(p, w) AS (VALUES
