@@ -770,3 +770,113 @@ def test_resolve_href_matches_urljoin_property(spark):
         if got2.get(i) != want:
             bad.append((base, h, got2.get(i), want))
     assert not bad, bad[:8]
+
+
+# ------------------------------------------- WARC source / sink
+def test_warc_roundtrip_and_gz(spark, tmp_path):
+    import gzip
+
+    from dart_xbrl_crawler_spark.sources import warc as W
+
+    recs = [
+        ("https://w.example/a", "2026-01-16T00:00:00Z", b"<html>A</html>"),
+        ("https://w.example/b", "2026-01-16T00:01:00Z", b"<html>B</html>"),
+    ]
+    raw = W.warc_bytes(recs)
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(raw)
+    (d / "seg1.warc.gz").write_bytes(gzip.compress(W.warc_bytes(recs[:1])))
+    df = W.read_warc(spark, str(d))
+    rows = df.orderBy("source_file", "url").collect()
+    assert len(rows) == 3
+    got = {(r["url"], bytes(r["html"])) for r in rows}
+    assert ("https://w.example/a", b"<html>A</html>") in got
+    assert ("https://w.example/b", b"<html>B</html>") in got
+    assert all(r["warc_type"] == "response" for r in rows)
+    assert str(rows[0]["warc_ts"]).startswith("2026-01-16")
+
+    # archival sink → read back identical bodies
+    out = str(tmp_path / "arch")
+    W.write_warc(df.select("url", "warc_ts", "html"), out)
+    back = W.read_warc(spark, out)
+    assert {
+        (r["url"], bytes(r["html"])) for r in back.collect()
+    } == got
+
+
+def test_warc_feeds_crawl_pipeline(spark, tmp_path):
+    """WARC segments are a first-class pages source: read_warc output
+    drives the same canonicalize→extract-links path as parquet pages."""
+    from dart_xbrl_crawler_spark.functions.links import extract_links
+    from dart_xbrl_crawler_spark.sources import warc as W
+
+    raw = W.warc_bytes(
+        [
+            (
+                "https://w.example/dir/p.html",
+                "2026-01-16T00:00:00Z",
+                b'<a href="/x">1</a><a href="q.html">2</a>',
+            )
+        ]
+    )
+    d = tmp_path / "w2"
+    d.mkdir()
+    (d / "s.warc").write_bytes(raw)
+    pages = W.read_warc(spark, str(d))
+    links = {r["link"] for r in extract_links(pages).collect()}
+    assert links == {
+        "https://w.example/x",
+        "https://w.example/dir/q.html",
+    }
+
+
+# ---------------------------------------------- sitemap ingestion
+def test_sitemap_extraction(spark):
+    from dart_xbrl_crawler_spark.functions.links import (
+        extract_sitemap_locs,
+        sitemap_urls_from_robots,
+    )
+
+    sm = (
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc> https://s.example/a </loc></url>"
+        b"<url><loc>https://s.example/b</loc></url></urlset>"
+    )
+    idx = (
+        b"<sitemapindex><sitemap><loc>https://s.example/sitemap-1.xml</loc>"
+        b"</sitemap></sitemapindex>"
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://s.example/sitemap.xml", "https://s.example/si.xml"],
+                "html": [sm, idx],
+            }
+        ),
+        schema="url string, html binary",
+    )
+    locs = {(r["src_url"], r["loc"]) for r in extract_sitemap_locs(pages).collect()}
+    assert locs == {
+        ("https://s.example/sitemap.xml", "https://s.example/a"),
+        ("https://s.example/sitemap.xml", "https://s.example/b"),
+        ("https://s.example/si.xml", "https://s.example/sitemap-1.xml"),
+    }
+
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["s.example"],
+                "robots_txt": [
+                    "User-agent: *\nDisallow: /x\n"
+                    "Sitemap: https://s.example/sitemap.xml\n"
+                    "sitemap: https://s.example/sitemap2.xml\n"
+                ],
+            }
+        )
+    )
+    sm_urls = {r["sitemap_url"] for r in sitemap_urls_from_robots(robots).collect()}
+    assert sm_urls == {
+        "https://s.example/sitemap.xml",
+        "https://s.example/sitemap2.xml",
+    }
