@@ -1215,3 +1215,59 @@ def q50(spark, sf):
         .orderBy(F.col("n_refs").desc(), F.col("link").asc())
         .limit(50)
     )
+
+
+# =====================================================================
+# dedup clusters — connected components over near-dup pairs (the
+# keep-one decision a training pipeline makes AFTER pair generation).
+# Spark side: iterative min-label propagation (operators/components.py,
+# localCheckpoint per round).  Oracle: DuckDB WITH RECURSIVE computes
+# the same min-reachable-node component — an iterative Spark algorithm
+# hash-verified end-to-end.
+# =====================================================================
+@query(
+    "q51_dedup_components",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+        AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.2),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(node, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+    comps AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT component AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(node) AS BIGINT) AS max_doc_id
+    FROM comps GROUP BY component
+    """,
+)
+def q51(spark, sf):
+    from ..operators.components import connected_components
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("a_emb")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, (a.label == b.b_label) & (a.a_id < b.b_id))
+        .filter(F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 4) >= 0.2)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.max("node").alias("max_doc_id"),
+    )

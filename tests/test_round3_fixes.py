@@ -880,3 +880,31 @@ def test_sitemap_extraction(spark):
         "https://s.example/sitemap.xml",
         "https://s.example/sitemap2.xml",
     }
+
+
+# --------------------------------- connected components / dedup clusters
+def test_connected_components_planted_clusters(spark):
+    from dart_xbrl_crawler_spark.operators.components import (
+        canonical_docs,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (30, 31), (31, 32), (32, 33),
+         (33, 34)],  # incl. a 5-node chain (propagation depth > 1)
+        "a_id long, b_id long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30,
+    }
+    canon = {
+        r["doc_id"]: r["canonical_id"] for r in canonical_docs(pairs).collect()
+    }
+    assert canon[34] == 30 and canon[3] == 1
