@@ -1271,3 +1271,41 @@ def q51(spark, sf):
         F.count("*").alias("cluster_size"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+# =====================================================================
+# BPE-ish token counting — a GPT-2-style pretokenizer split (letter
+# runs / digit runs / punctuation runs, each with an optional leading
+# space).  The pattern is kept RE2-compatible (no lookahead, no
+# contraction alternates) so the DuckDB oracle runs it verbatim; both
+# engines count regexp_extract_all matches.  Complements q27's
+# whitespace count: BPE-ish tokens are the unit LLM data budgets are
+# written in.
+# =====================================================================
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "q52_bpe_token_count",
+    f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(len(regexp_extract_all(text, '{_BPE_RE}')))
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_tokens_per_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q52(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    )
+    return d.groupBy("lang").agg(
+        F.sum(n_tok).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(n_tok) / F.count("*").cast("double"), 4
+        ).alias("avg_tokens_per_doc"),
+    )
