@@ -81,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--round-ms", type=int, default=60_000)
     c.add_argument("--no-discover", action="store_true",
                    help="skip link discovery between rounds")
+    c.add_argument("--text-out", default=None,
+                   help="append per-round extracted text to this parquet dir")
 
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
@@ -139,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             max_rounds=args.max_rounds,
             round_ms=args.round_ms,
             discover=not args.no_discover,
+            text_out=args.text_out,
         )
         print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":

@@ -356,6 +356,7 @@ class FrontierStore:
         max_per_host: int | None = None,
         n_partitions: int = 32,
         discover: bool = True,
+        text_out: str | None = None,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -391,6 +392,19 @@ class FrontierStore:
                 n_partitions=n_partitions,
             )
             n_fetched = fetched_pages.count()
+            if text_out and n_fetched:
+                # crawl → extract in one loop (the reference's
+                # crawl-then-process orchestration): per-round text
+                # extraction appended to a parquet sink.  ZIP payloads
+                # run the XBRL kernel; generic html gets stripped text.
+                from . import extract as X
+
+                X.extract_text(
+                    fetched_pages.select("url", "html")
+                    .withColumn("report_nm", F.lit(None).cast("string"))
+                    .withColumn("rcept_dt", F.lit(None).cast("string")),
+                    run_ts,
+                ).write.mode("append").parquet(text_out)
             n_ins = n_dup = 0
             if discover and n_fetched:
                 discovered = (

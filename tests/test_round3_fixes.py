@@ -908,3 +908,46 @@ def test_connected_components_planted_clusters(spark):
         r["doc_id"]: r["canonical_id"] for r in canonical_docs(pairs).collect()
     }
     assert canon[34] == 30 and canon[3] == 1
+
+
+def test_run_crawl_text_out_matches_oracle(spark, tmp_path):
+    """crawl with text_out: each round's fetched pages land in the text
+    sink, byte-identical to the row-at-a-time oracle extractor."""
+    from dart_xbrl_crawler_spark import oracle
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    def page(name, link_to=None):
+        body = (
+            f'<p>Text of {name}.</p><a href="/{link_to}">n</a>'
+            if link_to
+            else f"<p>Text of {name}.</p>"
+        ).encode()
+        return (f"https://t.example/{name}", body, pd.Timestamp("2026-01-01"))
+
+    rows = pd.DataFrame(
+        [page("a", "b"), page("b")], columns=["url", "html", "warc_ts"]
+    )
+    pages = spark.createDataFrame(
+        rows, schema="url string, html binary, warc_ts timestamp"
+    )
+    robots = spark.createDataFrame(
+        [("t.example", None, 100)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "t"), n_bloom_shards=8)
+    store.bootstrap(
+        spark.createDataFrame(
+            pd.DataFrame({"url": ["https://t.example/a"], "priority": [0.0]})
+        ),
+        RUN_TS,
+    )
+    out = str(tmp_path / "texts")
+    store.run_crawl(spark, pages, robots, RUN_TS, max_rounds=4, text_out=out)
+    got = {
+        r["url"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        u: oracle.extract_text_rowwise(u, bytes(h), None, None, RUN_TS)
+        for u, h, _ in [page("a", "b"), page("b")]
+    }
+    assert got == want and len(got) == 2
