@@ -69,6 +69,7 @@ class FrontierStore:
                 compact_every=compact_every,
                 expire_keep_last=expire_keep_last,
             )
+        self.host_metrics = SnapshotTable(path + "_host_metrics")
         self.metrics = SnapshotTable(path + "_metrics")
         self.bloom = SnapshotTable(path + "_bloom")
         self.n_bloom_shards = n_bloom_shards
@@ -327,6 +328,14 @@ class FrontierStore:
             .withColumnRenamed("count", "n")
         )
         self.metrics.commit(metrics, note=f"round={round_id}")
+        # per-host outcome counters — the input to adaptive politeness
+        # backoff (politeness.apply_backoff); O(|round| hosts) rows
+        self.host_metrics.commit(
+            changed.groupBy(F.lit(round_id).alias("round_id"), "host", "state")
+            .count()
+            .withColumnRenamed("count", "n"),
+            note=f"round={round_id}",
+        )
 
         fetched_pages = ok.select(
             "url",
@@ -439,6 +448,28 @@ class FrontierStore:
             self.table.read(spark).groupBy("state").count().collect()
         )
         return {r["state"]: r["count"] for r in rows}
+
+    def host_stats(self, spark: SparkSession) -> DataFrame:
+        """(host, n_fetched, n_failed, fail_rate) folded from the
+        per-host metrics chain — O(|hosts × rounds|) rows, never a
+        frontier scan.  Feed to politeness.apply_backoff."""
+        m = self.host_metrics.read_all(spark)
+        return (
+            m.groupBy("host")
+            .pivot("state", ["fetched", "failed", "robots_blocked"])
+            .sum("n")
+            .select(
+                "host",
+                F.coalesce("fetched", F.lit(0)).alias("n_fetched"),
+                F.coalesce("failed", F.lit(0)).alias("n_failed"),
+                F.coalesce("robots_blocked", F.lit(0)).alias("n_robots_blocked"),
+            )
+            .withColumn(
+                "fail_rate",
+                F.col("n_failed")
+                / F.greatest(F.col("n_fetched") + F.col("n_failed"), F.lit(1)),
+            )
+        )
 
     def lineage_counts(self, spark: SparkSession) -> dict[str, int]:
         """Per-state counts folded from the metrics chain — O(|metrics|)

@@ -325,6 +325,38 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+def apply_backoff(
+    robots: DataFrame,
+    host_stats: DataFrame,
+    factor: float = 4.0,
+    max_multiplier: float = 16.0,
+) -> DataFrame:
+    """Adaptive politeness: scale each host's crawl delay by its
+    observed failure rate — delay × (1 + factor·fail_rate), capped.
+    A host erroring on every fetch ends up factor+1× slower; a clean
+    host keeps its robots/default delay exactly.  host_stats comes from
+    FrontierStore.host_stats (the per-host metrics chain — never a
+    frontier scan); the reference has no analog (its single loop simply
+    sleeps a constant).  Returns a robots dim of the same shape with
+    adjusted crawl_delay_ms, so it drops into pop_round unchanged."""
+    mult = F.least(
+        F.lit(1.0) + F.lit(factor) * F.coalesce("fail_rate", F.lit(0.0)),
+        F.lit(max_multiplier),
+    )
+    base_delay = F.coalesce(
+        F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)
+    )
+    return (
+        robots.join(
+            F.broadcast(host_stats.select("host", "fail_rate")), "host", "left"
+        )
+        .withColumn(
+            "crawl_delay_ms", F.ceil(base_delay * mult).cast("long")
+        )
+        .drop("fail_rate")
+    )
+
+
 def pop_round(
     frontier: DataFrame,
     robots: DataFrame,

@@ -951,3 +951,56 @@ def test_run_crawl_text_out_matches_oracle(spark, tmp_path):
         for u, h, _ in [page("a", "b"), page("b")]
     }
     assert got == want and len(got) == 2
+
+
+# --------------------------------------- adaptive politeness backoff
+def test_host_stats_and_backoff(spark, fixture_bundle, tmp_path):
+    """Failure-rate backoff: hosts whose fetches error slow down by
+    delay x (1 + factor*fail_rate); clean hosts keep their delay."""
+    from dart_xbrl_crawler_spark import fixtures
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS
+
+    # seeds on two hosts; pages exist only for ok.example → the other
+    # host's fetches all fail
+    seeds = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://ok.example/1", "https://ok.example/2",
+                    "https://bad.example/1", "https://bad.example/2",
+                ],
+                "priority": [0.0] * 4,
+            }
+        )
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://ok.example/1", "https://ok.example/2"],
+                "html": [b"<html>1</html>", b"<html>2</html>"],
+                "warc_ts": pd.to_datetime(["2026-01-01"] * 2),
+            }
+        ),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("ok.example", None, 100), ("bad.example", None, 100)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "b"), n_bloom_shards=8)
+    store.bootstrap(seeds, fixtures.RUN_TS)
+    store.run_round(spark, pages, robots, fixtures.RUN_TS, round_id=0)
+    stats = {r["host"]: r for r in store.host_stats(spark).collect()}
+    assert stats["ok.example"]["fail_rate"] == 0.0
+    assert stats["bad.example"]["fail_rate"] == 1.0
+    assert stats["bad.example"]["n_failed"] == 2
+
+    adjusted = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in P.apply_backoff(
+            robots, store.host_stats(spark), factor=4.0
+        ).collect()
+    }
+    assert adjusted["ok.example"] == 100      # clean host unchanged
+    assert adjusted["bad.example"] == 500     # 100 * (1 + 4*1.0)
