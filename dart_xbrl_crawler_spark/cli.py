@@ -15,6 +15,10 @@ Subcommands (each one pure DataFrame job over the frontier store):
       insert newly-discovered urls (bloom + exact dedup)
   fetch --pages <parquet> --robots <parquet> --store <dir> [--round-ms N]
       one politeness-bounded crawl round; prints lineage counts
+  crawl --pages <parquet> --robots <parquet> --store <dir> [--max-rounds N]
+      [--text-out <dir>] [--backoff-factor F] [--no-discover]
+      full loop: budgeted rounds + link discovery until the queue
+      drains; optional per-round text extraction and adaptive backoff
   extract --pages <parquet> --seeds <parquet> --corp-map <parquet> --out <dir>
       extract kernel + corp join → partitioned facts sink
   status --store <dir>
@@ -83,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip link discovery between rounds")
     c.add_argument("--text-out", default=None,
                    help="append per-round extracted text to this parquet dir")
+    c.add_argument("--backoff-factor", type=float, default=None,
+                   help="adaptive politeness: delay x (1 + f*fail_rate)")
 
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
@@ -142,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
             round_ms=args.round_ms,
             discover=not args.no_discover,
             text_out=args.text_out,
+            backoff_factor=args.backoff_factor,
         )
         print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":

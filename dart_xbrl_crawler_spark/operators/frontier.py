@@ -366,6 +366,7 @@ class FrontierStore:
         n_partitions: int = 32,
         discover: bool = True,
         text_out: str | None = None,
+        backoff_factor: float | None = None,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -389,10 +390,17 @@ class FrontierStore:
                 queued = self.state_counts(spark).get("queued", 0)
             if queued == 0:
                 break
+            robots_rid = robots
+            if backoff_factor is not None and rid > 0:
+                # adaptive politeness: scale delays by the failure rates
+                # observed in earlier rounds (per-host metrics chain)
+                robots_rid = P.apply_backoff(
+                    robots, self.host_stats(spark), factor=backoff_factor
+                )
             snap, fetched_pages = self.run_round(
                 spark,
                 pages,
-                robots,
+                robots_rid,
                 run_ts,
                 round_id=rid,
                 round_ms=round_ms,
