@@ -97,19 +97,29 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"cli-{args.cmd}")
 
     if args.cmd == "bootstrap":
+        from pyspark.sql import functions as F
+
         from .operators.scheduler import date_window
 
         store = FrontierStore(args.store)
         seeds = spark.read.parquet(args.seeds)
-        window = date_window(
-            args.run_ts,
-            months_back=args.months_back,
-            bgn_de=args.bgn_de,
-            end_de=args.end_de,
-        )
-        snap = store.bootstrap(
-            seeds_to_frontier(seeds, window=window), args.run_ts
-        )
+        if "url" in seeds.columns:
+            # plain web seeds (url [, priority]) — bootstrap directly;
+            # the DART date window applies only to rcept seed lists
+            urls = (
+                seeds
+                if "priority" in seeds.columns
+                else seeds.withColumn("priority", F.lit(0.0))
+            )
+        else:
+            window = date_window(
+                args.run_ts,
+                months_back=args.months_back,
+                bgn_de=args.bgn_de,
+                end_de=args.end_de,
+            )
+            urls = seeds_to_frontier(seeds, window=window)
+        snap = store.bootstrap(urls, args.run_ts)
         print(json.dumps({"snapshot": snap, "states": store.state_counts(spark)}))
     elif args.cmd == "expand":
         store = FrontierStore(args.store)
