@@ -367,6 +367,13 @@ def main() -> None:
             eff = (_t_total(lo_r) / _t_total(hi_r)) / 4.0
             if eff > best_eff:
                 best_eff, lo, hi = eff, lo_r, hi_r
+            # attach best-so-far scaling IMMEDIATELY — a driver kill
+            # during a later attempt must not erase a completed one
+            # (calibration numbers join in the final emit)
+            throughput["scaling"] = _scaling_block(
+                cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, {}
+            )
+            _emit(_result(throughput))
             if best_eff >= 0.8:
                 break
         busy1, steal1 = _cpu_stat()
@@ -401,9 +408,26 @@ def main() -> None:
         )
 
     calib = _cpu_calibration(cores_lo, cores_hi) if _remaining() > 30 else {}
+    throughput["scaling"] = _scaling_block(
+        cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, calib
+    )
+    timings["scaling_lo"] = round(_t_total(lo), 3)
+    timings["scaling_hi"] = round(_t_total(hi), 3)
+    _emit(_result(throughput))
+
+
+def _scaling_block(
+    cores_lo: int,
+    cores_hi: int,
+    lo: dict,
+    hi: dict,
+    attempts: int,
+    steal_pct,
+    calib: dict,
+) -> dict:
     t_lo, t_hi = _t_total(lo), _t_total(hi)
     ceiling = min(4.0, calib.get("machine_speedup_alloc", 4.0))
-    throughput["scaling"] = {
+    return {
         "cores_lo": cores_lo,
         "cores_hi": cores_hi,
         "ins_per_s_lo": round(lo["n_ins"] / lo["t_ins"], 1),
@@ -417,13 +441,10 @@ def main() -> None:
         "efficiency_pop": round((lo["t_pop"] / hi["t_pop"]) / 4.0, 3),
         "efficiency_ext": round((lo["t_ext"] / hi["t_ext"]) / 4.0, 3),
         "efficiency_vs_alloc_ceiling": round((t_lo / t_hi) / ceiling, 3),
-        "attempts": attempts_run,
+        "attempts": attempts,
         "steal_pct_during_scaling": steal_pct,
         **calib,
     }
-    timings["scaling_lo"] = round(t_lo, 3)
-    timings["scaling_hi"] = round(t_hi, 3)
-    _emit(_result(throughput))
 
 
 if __name__ == "__main__":
