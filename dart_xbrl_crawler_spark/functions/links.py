@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HREF_RE = r'href="([^"#][^"]*)"'
+# One pattern per HTML attribute-quoting style (double-quoted,
+# single-quoted, unquoted) — regexp_extract_all pulls a single group
+# index, so the three styles are separate passes concatenated below.
+# Each excludes empty and fragment-only ('#…') values at the first char.
+_HREF_RES = (
+    r'(?i)href\s*=\s*"([^"#][^"]*)"',
+    r"(?i)href\s*=\s*'([^'#][^']*)'",
+    r"""(?i)href\s*=\s*([^\s>"'#][^\s>]*)""",
+)
 
 
 _MAX_DOT_DEPTH = 8
@@ -69,17 +77,24 @@ def resolve_href(href: Column, scheme: Column, host: Column, base_dir: Column):
     )
 
 
-def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """pages(url, html, …) → (src_url, link): distinct absolute links
     per page, resolved against the page url.  Pure expressions.
 
     Reads only (url, html) — column pruning keeps the 100 TB scan
-    narrow; the href regex walk happens inside codegen."""
+    narrow; the href regex walk happens inside codegen.  ``carry``
+    names extra page columns passed through per output row (e.g. the
+    parent's priority for inheritance) — cheaper than a join-back on
+    src_url after the explode."""
     from .urls import with_url_canon
 
     keep = [
         c for c in ("url", "url_canon", "host") if c in pages.columns
-    ] + [html_col]
+    ] + list(carry) + [html_col]
     src = pages.select(*keep)
     if "url_canon" not in src.columns:
         # fetched pages already carry url_canon/host — don't re-run the
@@ -95,8 +110,12 @@ def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     base_dir = F.regexp_extract(path, r"^(.*/)", 1)
     base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
 
-    hrefs = F.expr(f"regexp_extract_all(decode({html_col}, 'UTF-8'), '{_HREF_RE}', 1)")
-    _ = html_text  # decode happens inside the expr above
+    hrefs = F.concat(
+        *[
+            F.regexp_extract_all(html_text, F.lit(p), F.lit(1))
+            for p in _HREF_RES
+        ]
+    )
     resolved = F.array_distinct(
         F.filter(
             F.transform(
@@ -106,8 +125,10 @@ def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
         )
     )
     return (
-        src.select(F.col("url").alias("src_url"), resolved.alias("_links"))
-        .select("src_url", F.explode("_links").alias("link"))
+        src.select(
+            F.col("url").alias("src_url"), *carry, resolved.alias("_links")
+        )
+        .select("src_url", *carry, F.explode("_links").alias("link"))
     )
 
 

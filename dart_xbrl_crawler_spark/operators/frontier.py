@@ -352,6 +352,14 @@ class FrontierStore:
         self._prev_fetched = fetched  # released at the next round's start
         return snap, fetched_pages
 
+    def release(self) -> None:
+        """Drop the last round's fetch cache.  Called when a crawl loop
+        exits (run_crawl does) — without it the final round's cache
+        holds storage memory for the rest of the session."""
+        if self._prev_fetched is not None:
+            self._prev_fetched.unpersist()
+            self._prev_fetched = None
+
     # -- the full crawl loop -------------------------------------------
     def run_crawl(
         self,
@@ -367,6 +375,7 @@ class FrontierStore:
         discover: bool = True,
         text_out: str | None = None,
         backoff_factor: float | None = None,
+        priority_decay: float = 1.0,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -375,10 +384,32 @@ class FrontierStore:
         — pure Catalyst) and insert them as the next depth, until the
         queue drains or ``max_rounds``.  Each round is one delta commit;
         a kill anywhere resumes from the last published snapshot.
-        Returns per-round summaries (lineage counters)."""
+        Returns per-round summaries (lineage counters).
+
+        Discovered links INHERIT priority: ``max(parent_priority) −
+        priority_decay`` over all parents seen this round, so a
+        high-priority seed's frontier subtree outranks a low-priority
+        seed's at every depth instead of degenerating to flat 0.0
+        (insertion-order popping)."""
         from ..functions.links import extract_links
 
         summaries: list[dict] = []
+        try:
+            self._crawl_loop(
+                spark, pages, robots, run_ts, max_rounds, round_ms,
+                salt_buckets, max_per_host, n_partitions, discover,
+                text_out, backoff_factor, priority_decay, extract_links,
+                summaries,
+            )
+        finally:
+            self.release()
+        return summaries
+
+    def _crawl_loop(
+        self, spark, pages, robots, run_ts, max_rounds, round_ms,
+        salt_buckets, max_per_host, n_partitions, discover, text_out,
+        backoff_factor, priority_decay, extract_links, summaries,
+    ) -> None:
         for rid in range(max_rounds):
             # O(|metrics|) queue check — never a frontier scan.  A store
             # written before lineage metrics existed has no chain yet:
@@ -424,13 +455,22 @@ class FrontierStore:
                 ).write.mode("append").parquet(text_out)
             n_ins = n_dup = 0
             if discover and n_fetched:
+                # carry the parent's priority through the explode (no
+                # join-back); a link found under several parents takes
+                # the BEST parent minus one decay step
                 discovered = (
                     extract_links(
-                        fetched_pages.select("url", "url_canon", "host", "html")
+                        fetched_pages.select(
+                            "url", "url_canon", "host", "priority", "html"
+                        ),
+                        carry=("priority",),
                     )
-                    .select(F.col("link").alias("url"))
-                    .distinct()
-                    .withColumn("priority", F.lit(0.0))
+                    .groupBy(F.col("link").alias("url"))
+                    .agg(
+                        (F.max("priority") - F.lit(priority_decay)).alias(
+                            "priority"
+                        )
+                    )
                 )
                 _, n_ins, n_dup = self.insert(
                     spark, discovered, run_ts, depth=rid + 1
@@ -446,7 +486,6 @@ class FrontierStore:
             )
             if n_fetched == 0 and n_ins == 0:
                 break  # starved round and nothing new → stop
-        return summaries
 
     def state_counts(self, spark: SparkSession) -> dict[str, int]:
         """EXACT per-state counts — one full scan of the merged table.
@@ -493,6 +532,12 @@ class FrontierStore:
         queued_in = agg.pop("queued", 0)
         out = {k: v for k, v in agg.items() if v}
         n_trans = sum(v for k, v in agg.items() if k != "deduped")
-        if queued_in - n_trans:
+        if queued_in < n_trans:
+            # store bootstrapped before insert metrics existed: the
+            # chain undercounts inserts.  Fall back to the exact scan
+            # once rather than reporting a negative queue (which would
+            # also defeat run_crawl's drain check).
+            out["queued"] = self.state_counts(spark).get("queued", 0)
+        elif queued_in - n_trans:
             out["queued"] = queued_in - n_trans
         return out

@@ -338,7 +338,15 @@ def apply_backoff(
     FrontierStore.host_stats (the per-host metrics chain — never a
     frontier scan); the reference has no analog (its single loop simply
     sleeps a constant).  Returns a robots dim of the same shape with
-    adjusted crawl_delay_ms, so it drops into pop_round unchanged."""
+    adjusted crawl_delay_ms, so it drops into pop_round unchanged.
+
+    Failing hosts OUTSIDE the robots dim (newly discovered hosts get
+    the default delay without a robots row) are appended with null
+    rules and the default delay so backoff covers every observed host —
+    a left join into robots alone would silently exempt them.  Both
+    legs stay broadcast-friendly: a full-outer join can't broadcast-
+    hash, so this is left-join + anti-join-union instead."""
+    stats = host_stats.select("host", "fail_rate")
     mult = F.least(
         F.lit(1.0) + F.lit(factor) * F.coalesce("fail_rate", F.lit(0.0)),
         F.lit(max_multiplier),
@@ -346,13 +354,22 @@ def apply_backoff(
     base_delay = F.coalesce(
         F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)
     )
+    known = robots.join(F.broadcast(stats), "host", "left")
+    missing = stats.join(
+        F.broadcast(robots.select("host")), "host", "left_anti"
+    )
+    for field in robots.schema.fields:
+        if field.name in ("host", "crawl_delay_ms"):
+            continue
+        missing = missing.withColumn(
+            field.name, F.lit(None).cast(field.dataType)
+        )
+    missing = missing.withColumn(
+        "crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS).cast("long")
+    ).select(*known.columns)
     return (
-        robots.join(
-            F.broadcast(host_stats.select("host", "fail_rate")), "host", "left"
-        )
-        .withColumn(
-            "crawl_delay_ms", F.ceil(base_delay * mult).cast("long")
-        )
+        known.unionByName(missing)
+        .withColumn("crawl_delay_ms", F.ceil(base_delay * mult).cast("long"))
         .drop("fail_rate")
     )
 

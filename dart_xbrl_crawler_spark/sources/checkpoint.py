@@ -339,14 +339,52 @@ class BucketedMergeTable:
         bases = self._bases()
         seq = (bases[-1]["seq"] + 1) if bases else 0
         tbl = f"{self.table_prefix}_base_{seq:06d}"
+        # EXTERNAL table under the store path + schema recorded in the
+        # manifest: the in-memory catalog entry dies with the session,
+        # so read() re-registers from (location, schema_ddl, bucket
+        # spec) — this is what makes kill-anywhere/resume hold for the
+        # bucketed layout, not just the parquet MergeTable.
+        loc = os.path.join(self.path, "bases", tbl)
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {tbl}")
         write_bucketed(
-            df, tbl, key=self.key, n_buckets=self.n_buckets, sorted_by=self.key
+            df, tbl, key=self.key, n_buckets=self.n_buckets,
+            sorted_by=self.key, path=loc,
         )
-        self._publish_bases(bases + [{"table": tbl, "seq": seq, "note": note}])
+        self._publish_bases(
+            bases
+            + [{
+                "table": tbl,
+                "seq": seq,
+                "note": note,
+                "location": loc,
+                "schema_ddl": df.schema.toDDL(),
+            }]
+        )
         # base published → the delta chain it supersedes resets
         self.deltas._publish([])
         self.deltas._gc_orphans(__import__("shutil"))
         return tbl
+
+    def _ensure_registered(self, spark: SparkSession, base: dict) -> None:
+        from .bucketed import register_bucketed
+
+        if spark.catalog.tableExists(base["table"]):
+            return
+        if "location" not in base:  # legacy managed-table manifest entry
+            raise FileNotFoundError(
+                f"base table {base['table']} was written as a managed "
+                "table by an earlier version and is not recoverable "
+                "across sessions; re-bootstrap the store"
+            )
+        register_bucketed(
+            spark,
+            base["table"],
+            base["location"],
+            base["schema_ddl"],
+            key=self.key,
+            n_buckets=self.n_buckets,
+            sorted_by=self.key,
+        )
 
     def commit_delta(self, spark: SparkSession, df: DataFrame, note: str = "") -> str:
         snap = self.deltas.commit(df, note=note, kind="delta")
@@ -377,6 +415,7 @@ class BucketedMergeTable:
         bases = self._bases()
         if not bases:
             raise FileNotFoundError(f"no base snapshot at {self.path}")
+        self._ensure_registered(spark, bases[-1])
         base = spark.table(bases[-1]["table"])
         latest = self._latest_delta(spark)
         if latest is None:
@@ -388,12 +427,19 @@ class BucketedMergeTable:
         ).unionByName(latest.select(*base.columns))
 
     def compact(self, spark: SparkSession, note: str = "compact") -> str:
+        import shutil
+
         tbl = self.commit_base(self.read(spark), note=note)
-        # retention: drop superseded base tables (keep the new one)
+        # retention: drop superseded base tables (keep the new one).
+        # Data is deleted BY PATH — DROP TABLE alone would silently
+        # no-op in a later session (no catalog entry) and leak the
+        # superseded bucket files under the store path forever.
         bases = self._bases()
+        self._publish_bases(bases[-1:])  # manifest first, dirs second
         for b in bases[:-1]:
             spark.sql(f"DROP TABLE IF EXISTS {b['table']}")
-        self._publish_bases(bases[-1:])
+            if "location" in b:
+                shutil.rmtree(b["location"], ignore_errors=True)
         return tbl
 
     def snapshots(self) -> list[dict]:
