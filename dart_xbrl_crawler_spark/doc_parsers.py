@@ -31,23 +31,94 @@ from xml.etree import ElementTree
 
 _ENTITY_RE = re.compile(r"entity(\d{8})")
 
-# sniff(body) -> bool, parse(body) -> doc dict | None
-_REGISTRY: list[tuple[Callable[[bytes], bool], Callable[[bytes], dict | None]]] = []
+# sniff(body) -> bool, parse(body, aux) -> doc dict | None, where aux
+# carries sidecar context from the surrounding ZIP (today: 'labels',
+# the concept→lang→label map parsed from label-linkbase members)
+_REGISTRY: list[tuple[Callable[[bytes], bool], Callable[..., dict | None]]] = []
+
+_LAB_MEMBER_RE = re.compile(r"_lab(-[a-z]{2})?\.xml$", re.IGNORECASE)
 
 
 def register_parser(
-    sniff: Callable[[bytes], bool], parse: Callable[[bytes], dict | None]
+    sniff: Callable[[bytes], bool], parse: Callable[..., dict | None]
 ) -> None:
-    """Prepend a (sniff, parse) pair — later registrations win."""
+    """Prepend a (sniff, parse) pair — later registrations win.
+    ``parse`` may take (body) or (body, aux); 1-arg parsers are
+    wrapped so external registrations keep working unchanged."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(parse).parameters)
+    except (TypeError, ValueError):
+        n_params = 1
+    if n_params == 1:
+        inner = parse
+
+        def parse(body, aux=None, _inner=inner):  # noqa: ANN001
+            return _inner(body)
+
     _REGISTRY.insert(0, (sniff, parse))
+
+
+def parse_label_linkbase(body: bytes) -> dict[str, dict[str, str]]:
+    """XBRL 2.1 label linkbase (XLink) → {concept_id: {lang: label}}.
+
+    Resolution walks the standard triple: <loc xlink:href="…#concept">
+    locators, <label xml:lang=…> resources, <labelArc from=to> arcs —
+    the structure dart_fss resolves for the reference
+    (/root/reference/xbrl_processor.py:339-393).  The href fragment is
+    the concept id (DART taxonomy convention 'prefix_LocalName',
+    matching the instance parser's concept_id)."""
+    XLINK = "{http://www.w3.org/1999/xlink}"
+    XML_NS = "{http://www.w3.org/XML/1998/namespace}"
+    try:
+        root = ElementTree.fromstring(body)
+    except ElementTree.ParseError:
+        return {}
+    locs: dict[str, str] = {}
+    resources: dict[str, list[tuple[str, str]]] = {}
+    arcs: list[tuple[str, str]] = []
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "loc":
+            href = el.get(XLINK + "href") or ""
+            lab = el.get(XLINK + "label")
+            if lab and "#" in href:
+                locs[lab] = href.rsplit("#", 1)[-1]
+        elif name == "label":
+            lab = el.get(XLINK + "label")
+            lang = (el.get(XML_NS + "lang") or "").lower()
+            text = (el.text or "").strip()
+            if lab and text:
+                resources.setdefault(lab, []).append((lang, text))
+        elif name == "labelArc":
+            f, t = el.get(XLINK + "from"), el.get(XLINK + "to")
+            if f and t:
+                arcs.append((f, t))
+    out: dict[str, dict[str, str]] = {}
+    for f, t in arcs:
+        cid = locs.get(f)
+        if not cid:
+            continue
+        for lang, text in resources.get(t, []):
+            # first arc wins per (concept, lang) — deterministic under
+            # duplicate arcs, and the standard role precedes verbose
+            # roles in document order in DART linkbases
+            out.setdefault(cid, {}).setdefault(lang, text)
+    return out
 
 
 def parse_document(html: bytes) -> tuple[str | None, dict | None]:
     """ZIP bytes → (corp_code, wide doc dict | None).
 
     Opens the in-memory ZIP, takes the first ``entity{8}_*.xbrl``
-    member, sniffs its body against the parser registry.  (None, None)
-    on any failure — the row becomes state='failed' upstream."""
+    member, sniffs its body against the parser registry.  Label
+    linkbase members (``*_lab-ko.xml`` / ``*_lab-en.xml`` — the files
+    dart_fss reads for the reference's Korean labels) are parsed into
+    an aux labels map handed to the parser, so a real DART filing keeps
+    its taxonomy labels instead of falling back to concept localnames.
+    (None, None) on any failure — the row becomes state='failed'
+    upstream."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(html))
         names = sorted(n for n in zf.namelist() if n.endswith(".xbrl"))
@@ -57,9 +128,17 @@ def parse_document(html: bytes) -> tuple[str | None, dict | None]:
         m = _ENTITY_RE.search(member)
         corp_code = m.group(1) if m else None
         body = zf.read(member)
+        labels: dict[str, dict[str, str]] = {}
+        for n in sorted(zf.namelist()):
+            if _LAB_MEMBER_RE.search(n):
+                for cid, by_lang in parse_label_linkbase(zf.read(n)).items():
+                    dst = labels.setdefault(cid, {})
+                    for lang, text in by_lang.items():
+                        dst.setdefault(lang, text)
+        aux = {"labels": labels}
         for sniff, parse in _REGISTRY:
             if sniff(body):
-                return corp_code, parse(body)
+                return corp_code, parse(body, aux)
         return None, None
     except Exception:
         return None, None
@@ -70,7 +149,7 @@ def _sniff_mini(body: bytes) -> bool:
     return body.lstrip()[:1] == b"{"
 
 
-def _parse_mini(body: bytes) -> dict | None:
+def _parse_mini(body: bytes, aux: dict | None = None) -> dict | None:
     try:
         doc = json.loads(body.decode("utf-8"))
     except Exception:
@@ -114,18 +193,23 @@ def _ns_prefix(tag: str) -> str:
     return ""
 
 
-def _parse_xbrl_xml(body: bytes) -> dict | None:
+def _parse_xbrl_xml(body: bytes, aux: dict | None = None) -> dict | None:
     """XBRL 2.1 instance → wide mini-xbrl-2-shaped doc.
 
     Contexts: instant periods label BS columns (YYYYMMDD); duration
     periods label CIS columns (YYYYMMDD-YYYYMMDD).  A scenario/segment
     member mentioning 'Separate' maps to 별도재무제표, else
     연결재무제표.  Facts: any element with a contextRef and a numeric
-    body; concept_id = '<nsprefix>_<localname>'."""
+    body; concept_id = '<nsprefix>_<localname>'.
+
+    Label precedence per concept: the ZIP's own label linkbases
+    (aux['labels'], parsed by parse_label_linkbase — what dart_fss
+    resolves for the reference) → built-in table → localname."""
     try:
         root = ElementTree.fromstring(body)
     except ElementTree.ParseError:
         return None
+    zip_labels: dict[str, dict[str, str]] = (aux or {}).get("labels", {})
     contexts: dict[str, tuple[str, str, bool]] = {}  # id → (period, fs, instant)
     facts: list[tuple[str, str, float]] = []  # (concept_id, ctx, value)
     for el in root:
@@ -181,6 +265,12 @@ def _parse_xbrl_xml(body: bytes) -> dict | None:
                 ko, en, c1, c2, c3 = _CONCEPT_LABELS.get(
                     cid, (cid.rsplit("_", 1)[-1], cid.rsplit("_", 1)[-1], "", "", "")
                 )
+                # ZIP-carried linkbase labels win over the built-in
+                # table (a real filing's taxonomy labels; the table is
+                # only the no-linkbase fallback)
+                lk = zip_labels.get(cid, {})
+                ko = lk.get("ko", ko)
+                en = lk.get("en", en)
                 rows.append(
                     {
                         "concept_id": cid,

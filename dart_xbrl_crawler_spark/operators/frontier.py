@@ -45,6 +45,7 @@ class FrontierStore:
         expire_keep_last: int | None = None,
         storage: str = "parquet",
         n_buckets: int = 64,
+        metrics_compact_every: int = 64,
     ):
         if storage == "bucketed":
             # 10^10-row layout: base bucketed by url_hash → merge-on-read
@@ -74,6 +75,9 @@ class FrontierStore:
         self.bloom = SnapshotTable(path + "_bloom")
         self.n_bloom_shards = n_bloom_shards
         self.expected_keys = expected_keys
+        # metrics chains grow one snapshot per round/insert; past this
+        # many they fold into running sums (read_all stays O(1) files)
+        self.metrics_compact_every = metrics_compact_every
         # previous round's fetch cache: must outlive run_round's return
         # (fetched_pages derives from it) but not the NEXT round —
         # released at the top of the following run_round so long
@@ -336,6 +340,7 @@ class FrontierStore:
             .withColumnRenamed("count", "n"),
             note=f"round={round_id}",
         )
+        self._maybe_compact_metrics(spark)
 
         fetched_pages = ok.select(
             "url",
@@ -351,6 +356,42 @@ class FrontierStore:
         popped.unpersist()  # snapshot committed — drop the round's caches
         self._prev_fetched = fetched  # released at the next round's start
         return snap, fetched_pages
+
+    def _maybe_compact_metrics(self, spark: SparkSession) -> None:
+        """Bound the metrics chains: past ``metrics_compact_every``
+        snapshots, fold each chain into running sums (round_id/
+        partition_id = -2 marker rows, same schema) in ONE atomic
+        manifest swap (SnapshotTable.rewrite).  Every consumer
+        (lineage_counts, host_stats) aggregates sums, so folding is
+        exact; only per-round detail beyond the fold point is dropped.
+        Without this, host_stats re-reads O(rounds × hosts) files every
+        round — fine for max_rounds=5, unbounded for a long crawl."""
+        if len(self.metrics.snapshots()) > self.metrics_compact_every:
+            folded = (
+                self.metrics.read_all(spark)
+                .groupBy("state")
+                .agg(F.sum("n").alias("n"))
+                .select(
+                    F.lit(-2).cast("int").alias("round_id"),
+                    F.lit(-2).cast("int").alias("partition_id"),
+                    "state",
+                    "n",
+                )
+            )
+            self.metrics.rewrite(folded, note="metrics compact")
+        if len(self.host_metrics.snapshots()) > self.metrics_compact_every:
+            folded = (
+                self.host_metrics.read_all(spark)
+                .groupBy("host", "state")
+                .agg(F.sum("n").alias("n"))
+                .select(
+                    F.lit(-2).cast("int").alias("round_id"),
+                    "host",
+                    "state",
+                    "n",
+                )
+            )
+            self.host_metrics.rewrite(folded, note="host metrics compact")
 
     def release(self) -> None:
         """Drop the last round's fetch cache.  Called when a crawl loop
