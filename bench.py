@@ -179,6 +179,7 @@ B.frontier_scale_job(spark, 20_000)                 # warm the crawl path
 bench = B.CrawlBench(spark, {n_urls}, pop_mult={pop_mult})  # UNTIMED setup
 r = dict(cores={cores})
 for name, fn in (("ins", bench.insert_job), ("pop", bench.pop_job),
+                 ("popc", bench.pop_probe_job),
                  ("ext", lambda: B.extract_job(spark, {pages_path!r}))):
     t0 = time.time(); n = fn()
     r["t_" + name], r["n_" + name] = time.time() - t0, n
@@ -488,8 +489,30 @@ def _scaling_block(
         "efficiency_vs_alloc_ceiling": round((t_lo / t_hi) / ceiling, 3),
         "attempts": attempts,
         "steal_pct_during_scaling": steal_pct,
+        **_pop_var_block(lo, hi),
         **calib,
     }
+
+
+def _pop_var_block(lo: dict, hi: dict) -> dict:
+    """Separate the pop stage's fixed cost from its variable work:
+    t_popc is the SAME pop plan on a 500 k frontier (constants-
+    dominated, same stage walk — bench_support.pop_probe_job), so
+    t_pop − t_popc isolates the variable part and its lo→hi ratio is
+    the engine's distributed-work scaling with the per-stage constants
+    (AQE waves, broadcast build, task scheduling — which vanish in
+    minutes-long production rounds) factored out."""
+    if "t_popc" not in lo or "t_popc" not in hi:
+        return {}
+    var_lo = lo["t_pop"] - lo["t_popc"]
+    var_hi = hi["t_pop"] - hi["t_popc"]
+    out = {
+        "pop_const_s_lo": round(lo["t_popc"], 3),
+        "pop_const_s_hi": round(hi["t_popc"], 3),
+    }
+    if var_lo > 0 and var_hi > 0:
+        out["efficiency_pop_var"] = round((var_lo / var_hi) / 4.0, 3)
+    return out
 
 
 if __name__ == "__main__":

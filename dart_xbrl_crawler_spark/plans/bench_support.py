@@ -236,7 +236,7 @@ class CrawlBench:
     # (measured 66→171 s trial drift at 24 M).
     POP_MULT = 4
 
-    def _pop_frontier(self):
+    def _pop_frontier(self, n: int | None = None):
         """The pop stage's input: a stored-frontier stand-in MUCH larger
         than one insert batch — production-shaped (a round pops from a
         10^10-row table; an insert batch is comparatively tiny).  Pure
@@ -244,7 +244,8 @@ class CrawlBench:
         zero python, zero setup cost, deterministic — each branch scan
         regenerates them inside whole-stage codegen for less than a
         cache read would cost."""
-        n = self.n_urls * self.POP_MULT
+        if n is None:
+            n = self.n_urls * self.POP_MULT
         base = self.spark.range(n, numPartitions=64)
         host = F.when(F.col("id") % 10 < 6, F.lit("dart.fss.or.kr")).otherwise(
             F.concat(
@@ -280,6 +281,26 @@ class CrawlBench:
             round_ms=200_000,
             salt_buckets=64,
             n_hosts_hint=212,  # known synthetic host set → no count job
+        )
+        return popped.filter(F.col("selected")).count()
+
+    def pop_probe_job(self, n: int = 500_000) -> int:
+        """Per-stage CONSTANTS probe: the identical pop_round plan on a
+        frontier small enough that stage constants (AQE waves, counts
+        broadcast, task scheduling) dominate — 500 k keeps the giant
+        host (300 k > budget 200 k) in the quota regime, so the probe
+        walks the SAME stages as pop_job, just with negligible variable
+        work.  The bench subtracts this from the 16 M measurement to
+        report the variable part's scaling efficiency separately
+        (t ≈ c + V/cores; eff_raw conflates the two)."""
+        from ..operators import politeness as P
+
+        popped = P.pop_round(
+            self._pop_frontier(n),
+            self.robots,
+            round_ms=200_000,
+            salt_buckets=64,
+            n_hosts_hint=212,
         )
         return popped.filter(F.col("selected")).count()
 
