@@ -1309,3 +1309,69 @@ def q52(spark, sf):
             F.sum(n_tok) / F.count("*").cast("double"), 4
         ).alias("avg_tokens_per_doc"),
     )
+
+
+# =====================================================================
+# q53 — discovery priority inheritance (round-4 crawl-loop semantics):
+# each parent page carries a priority; a discovered link inherits
+# max(parent_priority) − 1 over all parents that reference it — the
+# rule FrontierStore.run_crawl applies at insert (frontier.py), here
+# oracle-checked end-to-end through the same Catalyst link extraction.
+# =====================================================================
+@query(
+    "q53_link_priority_inherit",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(o_custkey % 5 AS VARCHAR)
+               || '.ex/p' || CAST(o_orderkey AS VARCHAR) AS src_url,
+             'h' || CAST(o_custkey % 5 AS VARCHAR) || '.ex' AS host,
+             CAST(o_orderkey % 97 AS DOUBLE) AS priority,
+             '<a href="/child/' || CAST(o_orderkey % 11 AS VARCHAR) || '">x</a>'
+             || '<a href=''/child/' || CAST(o_orderkey % 7 AS VARCHAR) || '''>y</a>'
+             AS html
+      FROM orders WHERE o_orderkey % 10 = 0),
+    hrefs AS (
+      SELECT src_url, host, priority,
+             UNNEST(regexp_extract_all(html, 'href="([^"#][^"]*)"', 1)
+                    || regexp_extract_all(html, 'href=''([^''#][^'']*)''', 1))
+               AS href
+      FROM pages),
+    resolved AS (
+      SELECT DISTINCT src_url, priority,
+             'https://' || host || href AS link
+      FROM hrefs)
+    SELECT link,
+           MAX(priority) - 1.0 AS inherited_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_parents
+    FROM resolved
+    GROUP BY link ORDER BY link
+    """,
+)
+def q53(spark, sf):
+    from ..functions.links import extract_links
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".ex/p"), F.col("o_orderkey").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="/child/'), (F.col("o_orderkey") % 11).cast("string"),
+        F.lit('">x</a>'),
+        F.lit("<a href='/child/"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("'>y</a>"),
+    )
+    pages = o.select(
+        url.alias("url"),
+        (F.col("o_orderkey") % 97).cast("double").alias("priority"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    links = extract_links(pages, carry=("priority",))
+    return (
+        links.groupBy("link")
+        .agg(
+            (F.max("priority") - F.lit(1.0)).alias("inherited_priority"),
+            F.count("*").alias("n_parents"),
+        )
+        .orderBy("link")
+    )
