@@ -16,9 +16,11 @@ Subcommands (each one pure DataFrame job over the frontier store):
   fetch --pages <parquet> --robots <parquet> --store <dir> [--round-ms N]
       one politeness-bounded crawl round; prints lineage counts
   crawl --pages <parquet> --robots <parquet> --store <dir> [--max-rounds N]
-      [--text-out <dir>] [--backoff-factor F] [--no-discover]
-      full loop: budgeted rounds + link discovery until the queue
-      drains; optional per-round text extraction and adaptive backoff
+      [--text-out <dir>] [--backoff-factor F] [--priority-decay D]
+      [--no-discover]
+      full loop: budgeted rounds + link discovery (with priority
+      inheritance) until the queue drains; optional per-round text
+      extraction and adaptive backoff
   extract --pages <parquet> --seeds <parquet> --corp-map <parquet> --out <dir>
       extract kernel + corp join → partitioned facts sink
   status --store <dir>
@@ -89,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="append per-round extracted text to this parquet dir")
     c.add_argument("--backoff-factor", type=float, default=None,
                    help="adaptive politeness: delay x (1 + f*fail_rate)")
+    c.add_argument("--priority-decay", type=float, default=1.0,
+                   help="discovered links inherit max(parent priority) - decay")
 
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
@@ -159,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
             discover=not args.no_discover,
             text_out=args.text_out,
             backoff_factor=args.backoff_factor,
+            priority_decay=args.priority_decay,
         )
         print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":
