@@ -278,9 +278,19 @@ def _normalize_rules(rules_col, rules_type: T.ArrayType):
     )
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(
+    frontier: DataFrame, robots: DataFrame, broadcast_robots: bool = True
+) -> DataFrame:
     """Mark rows blocked by robots rules; adds ``robots_blocked`` and
-    ``crawl_delay_ms``.  robots is a tiny dim → broadcast join.
+    ``crawl_delay_ms``.
+
+    ``broadcast_robots`` (default True) forces a broadcast join — right
+    for the common case of a dim orders of magnitude smaller than the
+    frontier.  Pass False when the dim itself is web-scale (10^7-10^8
+    hosts × rules arrays): a forced broadcast of that would OOM the
+    driver, while the plain equality join shuffles only the dim side
+    against the frontier's existing distribution (AQE picks the
+    strategy, including its own broadcast if the dim turns out small).
 
     Accepts either dim shape:
       * parsed-rules dim (host, rules array<struct<prefix,allow>>,
@@ -288,6 +298,7 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         longest-match semantics;
       * legacy single-prefix dim (host, disallow_prefix,
         crawl_delay_ms) — treated as one Disallow rule."""
+    side = F.broadcast if broadcast_robots else (lambda df: df)
     path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
     if "rules" in robots.columns:
         rules_type = robots.schema["rules"].dataType
@@ -298,7 +309,7 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
                 "crawl_delay_ms"
             ),
         )
-        joined = frontier.join(F.broadcast(dim), "host", "left")
+        joined = frontier.join(side(dim), "host", "left")
         blocked = F.when(
             F.col("rules").isNotNull(), _eval_rules(path)
         ).otherwise(F.lit(False))
@@ -313,7 +324,7 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             "crawl_delay_ms"
         ),
     )
-    joined = frontier.join(F.broadcast(rules), "host", "left")
+    joined = frontier.join(side(rules), "host", "left")
     blocked = F.col("disallow_prefix").isNotNull() & path.startswith(
         F.col("disallow_prefix")
     )
@@ -330,6 +341,7 @@ def apply_backoff(
     host_stats: DataFrame,
     factor: float = 4.0,
     max_multiplier: float = 16.0,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Adaptive politeness: scale each host's crawl delay by its
     observed failure rate — delay × (1 + factor·fail_rate), capped.
@@ -345,7 +357,10 @@ def apply_backoff(
     rules and the default delay so backoff covers every observed host —
     a left join into robots alone would silently exempt them.  Both
     legs stay broadcast-friendly: a full-outer join can't broadcast-
-    hash, so this is left-join + anti-join-union instead."""
+    hash, so this is left-join + anti-join-union instead.  Pass
+    ``broadcast=False`` when the dims are themselves web-scale (10^8
+    hosts) — the joins fall back to shuffle joins under AQE."""
+    side = F.broadcast if broadcast else (lambda df: df)
     stats = host_stats.select("host", "fail_rate")
     mult = F.least(
         F.lit(1.0) + F.lit(factor) * F.coalesce("fail_rate", F.lit(0.0)),
@@ -354,9 +369,9 @@ def apply_backoff(
     base_delay = F.coalesce(
         F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)
     )
-    known = robots.join(F.broadcast(stats), "host", "left")
+    known = robots.join(side(stats), "host", "left")
     missing = stats.join(
-        F.broadcast(robots.select("host")), "host", "left_anti"
+        side(robots.select("host")), "host", "left_anti"
     )
     for field in robots.schema.fields:
         if field.name in ("host", "crawl_delay_ms"):
@@ -383,6 +398,7 @@ def pop_round(
     exact_rank_max: int = 100_000,
     broadcast_hosts_max: int = 262_144,
     n_hosts_hint: int | None = None,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """Select this round's fetch set.
 
@@ -390,8 +406,12 @@ def pop_round(
     ``selected`` + ``partition_salt`` so the caller can transition
     states (selected → fetch; robots_blocked → terminal) and
     repartition by (host, partition_salt) for the fetch stage.
+    ``broadcast_robots=False`` for a web-scale rules dim (see
+    apply_robots).
     """
-    gated = apply_robots(frontier, robots).withColumn(
+    gated = apply_robots(
+        frontier, robots, broadcast_robots=broadcast_robots
+    ).withColumn(
         "partition_salt",
         F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"),
     )

@@ -560,3 +560,54 @@ def test_iceberg_merge_table(spark):
     assert len(t.snapshots()) == 2
     t.rollback_to(snap0)
     assert {r["v"] for r in t.read(spark).collect()} == {"a"}
+
+
+# ------------------------------- web-scale dims: no forced broadcast
+def test_robots_and_backoff_no_forced_broadcast(spark):
+    """With broadcast gating OFF (a 10^7+-host dim would OOM the driver
+    if force-broadcast), the plans contain no BroadcastExchange that
+    Catalyst didn't choose itself — verified under a disabled
+    auto-broadcast threshold, where the robots join must appear as a
+    shuffle join."""
+    from dart_xbrl_crawler_spark.functions.urls import with_url_canon
+
+    frontier = with_url_canon(
+        spark.createDataFrame(
+            pd.DataFrame({"url": [f"https://h{i % 7}.ex/p{i}" for i in range(40)]})
+        )
+    ).select(
+        "*",
+        F.lit(0.0).alias("priority"),
+        F.to_timestamp(F.lit(RUN_TS)).alias("discovered_ts"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.ex", None, 10) for k in range(7)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    stats = spark.createDataFrame(
+        pd.DataFrame({"host": [f"h{k}.ex" for k in range(7)], "fail_rate": [0.5] * 7})
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_g = P.apply_robots(
+            frontier, robots, broadcast_robots=False
+        )._jdf.queryExecution().executedPlan().toString()
+        plan_b = P.apply_backoff(
+            robots, stats, broadcast=False
+        )._jdf.queryExecution().executedPlan().toString()
+        out = P.pop_round(
+            frontier, robots, round_ms=1000, broadcast_robots=False
+        )
+        n_sel = out.filter(F.col("selected")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastExchange" not in plan_g, plan_g
+    assert "BroadcastExchange" not in plan_b, plan_b
+    # semantics unchanged: budget 1000/10=100 ≥ all queues → all pop
+    assert n_sel == 40
+    # default path still broadcasts (the common small-dim case)
+    plan_default = P.apply_robots(
+        frontier, robots
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_default
