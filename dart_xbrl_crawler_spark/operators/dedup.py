@@ -209,8 +209,12 @@ def dedup_urls(
 ) -> DataFrame:
     """Exact frontier − seen.
 
-    With a bloom: ONE shard-aligned numeric python stage does both the
-    bloom probe AND the exact confirmation — frontier hashes and seen
+    ``bloom`` accepts EITHER filter table — BLOOM_SCHEMA or
+    CUCKOO_SCHEMA rows (dispatch on columns inside the cogroup kernel);
+    the plan and exactness contract are identical for both.
+
+    With a filter: ONE shard-aligned numeric python stage does both the
+    approximate probe AND the exact confirmation — frontier hashes and seen
     hashes are tagged, unioned, cogrouped with the bloom by shard; per
     shard, numpy bloom-tests the frontier hashes and ``np.isin``-checks
     the flagged ones against that shard's seen hashes.  The output
@@ -253,7 +257,7 @@ def dedup_urls(
         front = hashes[~is_seen]
         if right.empty:
             confirmed = front[:0]
-        else:
+        elif "bits" in right.columns:  # bloom shard
             bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
             m = int(right["m_bits"].iloc[0])
             k = int(right["k_hashes"].iloc[0])
@@ -261,6 +265,13 @@ def dedup_urls(
             for pos in _positions(front, m, k):
                 hit &= _test_bits(bits, pos)
             flagged = front[hit]
+            confirmed = flagged[np.isin(flagged, hashes[is_seen])]
+        else:  # cuckoo shard (CUCKOO_SCHEMA)
+            m = int(right["m_buckets"].iloc[0])
+            table = np.frombuffer(
+                right["table"].iloc[0], dtype=np.uint16
+            ).reshape(m, _CUCKOO_SLOTS)
+            flagged = front[_cuckoo_contains(table, front)]
             confirmed = flagged[np.isin(flagged, hashes[is_seen])]
         return pd.DataFrame(
             {
@@ -285,3 +296,311 @@ def dedup_urls(
     if confirmed_seen.count() <= broadcast_max_rows:
         return frontier.join(F.broadcast(confirmed_seen), "url_hash", "left_anti")
     return frontier.join(confirmed_seen, "url_hash", "left_anti")
+
+
+# =====================================================================
+# Partitioned CUCKOO filter — the north star names "Bloom/cuckoo"; the
+# cuckoo variant adds the one capability Bloom structurally lacks:
+# DELETION (frontier expiry / GC must be able to retire url_hashes from
+# the seen structure without a full rebuild).  Same scale shape as the
+# Bloom above: P shards keyed pmod(url_hash, P); each probe/insert/
+# delete task holds exactly one shard table (cogroup-aligned); tables
+# never ride a broadcast or a row.
+#
+# Per-shard layout (Fan et al., "Cuckoo Filter: Practically Better Than
+# Bloom", CoNEXT 2014 — public paper): m buckets (power of two) × 4
+# slots of 16-bit fingerprints (0 = empty slot; fingerprints are forced
+# nonzero).  Candidate buckets i1 = H(x) & (m-1) and
+# i2 = (i1 ^ H'(fp)) & (m-1) — the xor form makes i1 recoverable from
+# (i2, fp), which is what lets eviction relocate entries without the
+# original key.  fpp ≈ 2·4/2^16 ≈ 1.2e-4 per lookup at 16-bit tags.
+#
+# The insert path is a two-pass vectorized fill (rank-within-bucket
+# against free slots for i1 then i2) with a per-key kick loop only for
+# the residue — pure-python honesty: a production cluster would swap a
+# native kernel behind the same (shard, table) contract, exactly like
+# the parse kernels.
+# =====================================================================
+
+CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("m_buckets", T.LongType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+_CUCKOO_SLOTS = 4
+_CUCKOO_MAX_KICKS = 500
+
+
+def _cuckoo_m(expected: int, load: float = 0.84) -> int:
+    """Bucket count: next power of two holding ``expected`` keys at the
+    target load factor (0.84 keeps the kick residue tiny at 4 slots)."""
+    need = max(1, int(np.ceil(expected / (load * _CUCKOO_SLOTS))))
+    return 1 << int(np.ceil(np.log2(need)))
+
+
+def _cuckoo_fp(h: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprints from the key hash."""
+    fp = (_mix(h.astype(np.uint64)) >> np.uint64(48)).astype(np.uint16)
+    return np.where(fp == 0, np.uint16(1), fp)
+
+
+def _cuckoo_b1(h: np.ndarray, m: int) -> np.ndarray:
+    return (_mix(h.astype(np.uint64)) & np.uint64(m - 1)).astype(np.int64)
+
+
+def _cuckoo_alt(b: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    """Partner bucket: i ^ H'(fp) — involutive, so alt(alt(b)) == b."""
+    tag_hash = _mix(fp.astype(np.uint64)) & np.uint64(m - 1)
+    return (b.astype(np.uint64) ^ tag_hash).astype(np.int64) & (m - 1)
+
+
+def _cuckoo_fill(table: np.ndarray, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+    """Vectorized pass: place each (bucket, fp) into a free slot of its
+    bucket where rank-within-bucket < free-slot count.  Returns the
+    boolean mask of keys NOT placed."""
+    order = np.argsort(buckets, kind="stable")
+    b_sorted = buckets[order]
+    # rank of each key within its bucket run
+    starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+    run_id = np.cumsum(np.r_[True, b_sorted[1:] != b_sorted[:-1]]) - 1
+    rank = np.arange(len(b_sorted)) - starts[run_id]
+    free = (table[b_sorted] == 0).sum(axis=1)
+    placeable = rank < free
+    # slot index: rank'th free slot of the bucket
+    for i in np.flatnonzero(placeable):
+        b = b_sorted[i]
+        empt = np.flatnonzero(table[b] == 0)
+        table[b, empt[0]] = fps[order[i]]
+    unplaced = np.ones(len(buckets), dtype=bool)
+    unplaced[order[placeable]] = False
+    return unplaced
+
+
+def _cuckoo_insert_keys(table: np.ndarray, hashes: np.ndarray, rng_seed: int) -> int:
+    """Insert hashes into a shard table in place; returns the number of
+    keys that could NOT be placed (0 under correct sizing).  Duplicate
+    hashes insert duplicate fingerprints — deletion stays safe (one
+    delete removes one copy), matching the paper's multiset semantics."""
+    m = table.shape[0]
+    fps = _cuckoo_fp(hashes)
+    b1 = _cuckoo_b1(hashes, m)
+    left = _cuckoo_fill(table, b1, fps)
+    if left.any():
+        b2 = _cuckoo_alt(b1[left], fps[left], m)
+        still = _cuckoo_fill(table, b2, fps[left])
+        idx = np.flatnonzero(left)[still]
+    else:
+        idx = np.empty(0, dtype=np.int64)
+    # kick loop for the residue — deterministic RNG (seeded per shard)
+    rng = np.random.RandomState(rng_seed & 0x7FFFFFFF)
+    failed = 0
+    for i in idx:
+        fp = fps[i]
+        b = int(b1[i])
+        placed = False
+        for _ in range(_CUCKOO_MAX_KICKS):
+            empt = np.flatnonzero(table[b] == 0)
+            if len(empt):
+                table[b, empt[0]] = fp
+                placed = True
+                break
+            slot = rng.randint(_CUCKOO_SLOTS)
+            fp, table[b, slot] = table[b, slot], fp
+            b = int(_cuckoo_alt(np.array([b]), np.array([fp], dtype=np.uint16), m)[0])
+        if not placed:
+            failed += 1
+    return failed
+
+
+def _cuckoo_contains(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    m = table.shape[0]
+    fps = _cuckoo_fp(hashes)
+    b1 = _cuckoo_b1(hashes, m)
+    b2 = _cuckoo_alt(b1, fps, m)
+    return (table[b1] == fps[:, None]).any(axis=1) | (
+        table[b2] == fps[:, None]
+    ).any(axis=1)
+
+
+def _cuckoo_delete_keys(table: np.ndarray, hashes: np.ndarray) -> int:
+    """Remove ONE fingerprint copy per key (checking both candidate
+    buckets); returns how many keys had no matching fingerprint."""
+    m = table.shape[0]
+    fps = _cuckoo_fp(hashes)
+    b1 = _cuckoo_b1(hashes, m)
+    b2 = _cuckoo_alt(b1, fps, m)
+    missing = 0
+    for i in range(len(hashes)):
+        hit = False
+        for b in (int(b1[i]), int(b2[i])):
+            slots = np.flatnonzero(table[b] == fps[i])
+            if len(slots):
+                table[b, slots[0]] = 0
+                hit = True
+                break
+        missing += 0 if hit else 1
+    return missing
+
+
+def build_cuckoo_filter(
+    seen: DataFrame,
+    n_shards: int = 64,
+    expected_keys: int | None = None,
+    load: float = 0.84,
+) -> DataFrame:
+    """seen(url_hash …) → cuckoo table, one row per shard.  Sizing per
+    shard from ``expected_keys``/P (fixed for the table's lifetime so
+    incremental inserts keep the same bucket space — same contract as
+    the Bloom's expected_keys)."""
+    per_shard_n = (expected_keys // n_shards + 1) if expected_keys else None
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks: dict[int, list[np.ndarray]] = {}
+        for pdf in it:
+            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+            shards = pdf["shard"].to_numpy()
+            for s in np.unique(shards):
+                chunks.setdefault(int(s), []).append(hashes[shards == s])
+        rows = []
+        for s, parts in chunks.items():
+            hs = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            m = _cuckoo_m(per_shard_n or len(hs), load)
+            table = np.zeros((m, _CUCKOO_SLOTS), dtype=np.uint16)
+            failed = _cuckoo_insert_keys(table, hs, rng_seed=s)
+            if failed:
+                raise ValueError(
+                    f"cuckoo shard {s} over capacity ({failed} unplaced of "
+                    f"{len(hs)}; size expected_keys for the table lifetime)"
+                )
+            rows.append((s, table.tobytes(), m, len(hs)))
+        yield pd.DataFrame(rows, columns=["shard", "table", "m_buckets", "n_keys"])
+
+    with_shard = seen.select(
+        F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
+        "url_hash",
+    ).repartition(n_shards, "shard")
+    return with_shard.mapInPandas(build, schema=CUCKOO_SCHEMA)
+
+
+def _cuckoo_update(
+    cuckoo: DataFrame,
+    keys: DataFrame,
+    n_shards: int,
+    op: str,
+    expected_per_shard: int | None = None,
+) -> DataFrame:
+    """Shard-aligned cogroup applying ``op`` ('insert' | 'delete') of
+    keys(url_hash) to the stored tables — the incremental path.  Each
+    task rewrites one shard table (O(shard bytes) I/O, like the Bloom's
+    OR-merge); shards with no keys pass through untouched.  An insert
+    into a shard with no stored table yet (the seed batch never touched
+    it) creates one, sized from ``expected_per_shard``."""
+
+    keyed = keys.select("url_hash").withColumn(
+        "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            if op == "insert" and not left.empty:
+                hashes = left["url_hash"].to_numpy(dtype=np.int64)
+                s = int(left["shard"].iloc[0])
+                m = _cuckoo_m(expected_per_shard or len(hashes))
+                table = np.zeros((m, _CUCKOO_SLOTS), dtype=np.uint16)
+                failed = _cuckoo_insert_keys(table, hashes, rng_seed=s)
+                if failed:
+                    raise ValueError(f"cuckoo shard {s} over capacity")
+                return pd.DataFrame(
+                    {
+                        "shard": [s],
+                        "table": [table.tobytes()],
+                        "m_buckets": [m],
+                        "n_keys": [len(hashes)],
+                    }
+                )
+            return pd.DataFrame(
+                {"shard": [], "table": [], "m_buckets": [], "n_keys": []}
+            ).astype({"shard": "int32", "m_buckets": "int64", "n_keys": "int64"})
+        m = int(right["m_buckets"].iloc[0])
+        table = (
+            np.frombuffer(right["table"].iloc[0], dtype=np.uint16)
+            .reshape(m, _CUCKOO_SLOTS)
+            .copy()
+        )
+        n = int(right["n_keys"].iloc[0])
+        if not left.empty:
+            hashes = left["url_hash"].to_numpy(dtype=np.int64)
+            s = int(right["shard"].iloc[0])
+            if op == "insert":
+                failed = _cuckoo_insert_keys(table, hashes, rng_seed=s)
+                if failed:
+                    raise ValueError(f"cuckoo shard {s} over capacity")
+                n += len(hashes)
+            else:
+                missing = _cuckoo_delete_keys(table, hashes)
+                n -= len(hashes) - missing
+        return pd.DataFrame(
+            {
+                "shard": right["shard"].iloc[:1],
+                "table": [table.tobytes()],
+                "m_buckets": [m],
+                "n_keys": [n],
+            }
+        )
+
+    return (
+        keyed.groupBy("shard")
+        .cogroup(cuckoo.groupBy("shard"))
+        .applyInPandas(update, schema=CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_insert(
+    cuckoo: DataFrame,
+    keys: DataFrame,
+    n_shards: int = 64,
+    expected_per_shard: int | None = None,
+) -> DataFrame:
+    return _cuckoo_update(
+        cuckoo, keys, n_shards, "insert", expected_per_shard=expected_per_shard
+    )
+
+
+def cuckoo_delete(cuckoo: DataFrame, keys: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Retire keys from the seen structure — what frontier expiry/GC
+    needs and what a Bloom filter structurally cannot do."""
+    return _cuckoo_update(cuckoo, keys, n_shards, "delete")
+
+
+def probe_seen_cuckoo(
+    frontier: DataFrame, cuckoo: DataFrame, n_shards: int = 64
+) -> DataFrame:
+    """frontier + ``seen_maybe`` — same shape/contract as probe_seen
+    (bloom): numeric-only python stage, one shard table per task, the
+    verdict joins back JVM-side."""
+    keyed = frontier.select("url_hash").distinct().withColumn(
+        "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        hashes = left["url_hash"].to_numpy(dtype=np.int64)
+        if right.empty:
+            hit = np.zeros(len(hashes), dtype=bool)
+        else:
+            m = int(right["m_buckets"].iloc[0])
+            table = np.frombuffer(
+                right["table"].iloc[0], dtype=np.uint16
+            ).reshape(m, _CUCKOO_SLOTS)
+            hit = _cuckoo_contains(table, hashes)
+        return pd.DataFrame({"url_hash": hashes, "seen_maybe": hit})
+
+    verdict = (
+        keyed.groupBy("shard")
+        .cogroup(cuckoo.groupBy("shard"))
+        .applyInPandas(probe, schema=_VERDICT_SCHEMA)
+    )
+    return frontier.join(verdict, "url_hash")

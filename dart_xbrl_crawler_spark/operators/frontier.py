@@ -46,6 +46,7 @@ class FrontierStore:
         storage: str = "parquet",
         n_buckets: int = 64,
         metrics_compact_every: int = 64,
+        seen_filter: str = "bloom",
     ):
         if storage == "bucketed":
             # 10^10-row layout: base bucketed by url_hash → merge-on-read
@@ -78,6 +79,12 @@ class FrontierStore:
         # metrics chains grow one snapshot per round/insert; past this
         # many they fold into running sums (read_all stays O(1) files)
         self.metrics_compact_every = metrics_compact_every
+        # 'bloom' (OR-merge incremental) or 'cuckoo' (insert/delete
+        # incremental — supports retiring keys on expiry, which a Bloom
+        # structurally cannot); both probe through the same dedup plan
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {seen_filter!r}")
+        self.seen_filter = seen_filter
         # previous round's fetch cache: must outlive run_round's return
         # (fetched_pages derives from it) but not the NEXT round —
         # released at the top of the following run_round so long
@@ -87,6 +94,25 @@ class FrontierStore:
     def _commit_bloom_batch(
         self, spark: SparkSession, hashes: DataFrame, note: str
     ) -> None:
+        """Fold a batch of url_hashes into the stored seen filter —
+        bloom: partial build + OR-merge; cuckoo: shard-aligned
+        incremental insert into the stored tables."""
+        if self.seen_filter == "cuckoo":
+            if self.bloom.snapshots():
+                merged = D.cuckoo_insert(
+                    self.bloom.read(spark),
+                    hashes,
+                    n_shards=self.n_bloom_shards,
+                    expected_per_shard=self.expected_keys // self.n_bloom_shards + 1,
+                )
+            else:
+                merged = D.build_cuckoo_filter(
+                    hashes,
+                    n_shards=self.n_bloom_shards,
+                    expected_keys=self.expected_keys,
+                )
+            self.bloom.commit(merged, note=note)
+            return
         batch = D.build_seen_filter(
             hashes,
             n_shards=self.n_bloom_shards,
@@ -97,6 +123,20 @@ class FrontierStore:
         else:
             merged = batch
         self.bloom.commit(merged, note=note)
+
+    def retire_seen(self, spark: SparkSession, hashes: DataFrame) -> None:
+        """Remove url_hashes from the seen filter (cuckoo only —
+        deletion is the capability the cuckoo variant exists for;
+        e.g. retiring expired frontier rows so their urls can recrawl).
+        Commits a new filter snapshot."""
+        if self.seen_filter != "cuckoo":
+            raise ValueError("retire_seen requires seen_filter='cuckoo'")
+        self.bloom.commit(
+            D.cuckoo_delete(
+                self.bloom.read(spark), hashes, n_shards=self.n_bloom_shards
+            ),
+            note="retire",
+        )
 
     def _commit_insert_metrics(
         self, spark: SparkSession, fresh: DataFrame, n_fresh: int, n_dup: int
