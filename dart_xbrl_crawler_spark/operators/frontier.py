@@ -397,6 +397,92 @@ class FrontierStore:
         self._prev_fetched = fetched  # released at the next round's start
         return snap, fetched_pages
 
+    # -- recrawl / expiry ----------------------------------------------
+    def recrawl(
+        self,
+        spark: SparkSession,
+        before_ts: str,
+        states: tuple[str, ...] = ("fetched", "failed"),
+    ) -> int:
+        """Re-queue rows whose fetch is older than ``before_ts`` — the
+        freshness loop every production crawler runs (the reference
+        re-downloads nothing, ever).  One O(|frontier|) scan selects the
+        stale rows; the commit is an O(|stale|) delta flipping them back
+        to 'queued' (last-wins merge), so the next pop_round refetches
+        them under the normal politeness budget.  The seen filter is
+        untouched: these urls remain known — rediscovered copies must
+        keep deduping while the refetch is pending."""
+        frontier = self.table.read(spark)
+        stale = frontier.filter(
+            F.col("state").isin(*states)
+            & (F.col("fetch_ts") < F.to_timestamp(F.lit(before_ts)))
+        )
+        changed = stale.withColumn("state", F.lit("queued")).withColumn(
+            "fetch_ts", F.lit(None).cast("timestamp")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = changed.count()
+            if n:
+                self.table.commit_delta(spark, changed, note=f"recrawl<{before_ts}")
+                self.metrics.commit(
+                    changed.groupBy(
+                        F.lit(-3).alias("round_id"),
+                        F.spark_partition_id().alias("partition_id"),
+                        F.lit("queued").alias("state"),
+                    )
+                    .count()
+                    .withColumnRenamed("count", "n"),
+                    note="recrawl lineage",
+                )
+            return n
+        finally:
+            changed.unpersist()
+
+    def expire(
+        self,
+        spark: SparkSession,
+        before_ts: str,
+        states: tuple[str, ...] = ("fetched", "failed", "robots_blocked"),
+    ) -> int:
+        """Retire terminal rows older than ``before_ts`` from the crawl:
+        an O(|expired|) delta marks them ``state='expired'`` (a terminal
+        tombstone — the row stays for lineage/time-travel) and, on a
+        cuckoo-backed store, their hashes leave the seen filter, so a
+        LATER rediscovery inserts a fresh queued row whose last-wins
+        merge resurrects the url.  Reference analog: the 7-day mtime
+        cleanup (/root/reference/dart_api_manager.py:582-602), as state
+        data instead of filesystem deletes.  On a bloom-backed store the
+        filter keeps the hash (deletions are impossible there) — expired
+        urls then stay deduped until a compaction rebuild; that asymmetry
+        is exactly why the cuckoo variant exists."""
+        frontier = self.table.read(spark)
+        old = frontier.filter(
+            F.col("state").isin(*states)
+            & (F.col("fetch_ts") < F.to_timestamp(F.lit(before_ts)))
+        )
+        changed = old.withColumn("state", F.lit("expired")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            n = changed.count()
+            if n:
+                self.table.commit_delta(spark, changed, note=f"expire<{before_ts}")
+                self.metrics.commit(
+                    changed.groupBy(
+                        F.lit(-3).alias("round_id"),
+                        F.spark_partition_id().alias("partition_id"),
+                        F.lit("expired").alias("state"),
+                    )
+                    .count()
+                    .withColumnRenamed("count", "n"),
+                    note="expire lineage",
+                )
+                if self.seen_filter == "cuckoo":
+                    self.retire_seen(spark, changed.select("url_hash"))
+            return n
+        finally:
+            changed.unpersist()
+
     def _maybe_compact_metrics(self, spark: SparkSession) -> None:
         """Bound the metrics chains: past ``metrics_compact_every``
         snapshots, fold each chain into running sums (round_id/
@@ -612,7 +698,9 @@ class FrontierStore:
         }  # raises FileNotFoundError for a pre-metrics legacy store
         queued_in = agg.pop("queued", 0)
         out = {k: v for k, v in agg.items() if v}
-        n_trans = sum(v for k, v in agg.items() if k != "deduped")
+        # 'deduped' is an insert-side counter and 'expired' transitions
+        # FROM already-terminal states — neither consumes a queue slot
+        n_trans = sum(v for k, v in agg.items() if k not in ("deduped", "expired"))
         if queued_in < n_trans:
             # store bootstrapped before insert metrics existed: the
             # chain undercounts inserts.  Fall back to the exact scan

@@ -171,3 +171,87 @@ def test_frontier_store_cuckoo_end_to_end(spark, tmp_path):
     probed = D.probe_seen_cuckoo(retire, cf, n_shards=4)
     assert probed.filter(F.col("seen_maybe")).count() == 0
     del again
+
+
+# ------------------------------------------- recrawl / expire loop
+def _mini_crawl_store(spark, tmp_path, seen_filter="cuckoo"):
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://rc.example/p{i}" for i in range(6)],
+                "html": [b"<html>x</html>"] * 6,
+                "warc_ts": [pd.Timestamp("2026-01-01")] * 6,
+            }
+        ),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("rc.example", None, 100)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(
+        str(tmp_path / seen_filter), n_bloom_shards=4, expected_keys=4_096,
+        seen_filter=seen_filter,
+    )
+    store.bootstrap(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"url": [f"https://rc.example/p{i}" for i in range(6)],
+                 "priority": [0.0] * 6}
+            )
+        ),
+        RUN_TS,
+    )
+    store.run_round(spark, pages, robots, RUN_TS, round_id=0, round_ms=100_000)
+    return store, pages, robots
+
+
+def test_recrawl_requeues_stale_rows(spark, tmp_path):
+    """Rows fetched before the cutoff flip back to queued (O(|stale|)
+    delta); the next round refetches them; lineage stays consistent."""
+    store, pages, robots = _mini_crawl_store(spark, tmp_path)
+    assert store.state_counts(spark) == {"fetched": 6}
+    n = store.recrawl(spark, "2026-02-01 00:00:00")
+    assert n == 6
+    assert store.state_counts(spark) == {"queued": 6}
+    assert store.lineage_counts(spark).get("queued") == 6
+    # cutoff BEFORE the fetch: nothing stale
+    assert store.recrawl(spark, "2020-01-01 00:00:00") == 0
+    # the refetch round works under the normal politeness budget
+    store.run_round(
+        spark, pages, robots, "2026-03-01 00:00:00", round_id=1,
+        round_ms=100_000,
+    )
+    assert store.state_counts(spark) == {"fetched": 6}
+    assert store.lineage_counts(spark).get("queued", 0) == 0
+
+
+def test_expire_tombstones_and_allows_reinsert(spark, tmp_path):
+    """Expired rows tombstone (state='expired'), their hashes leave the
+    cuckoo filter, and a rediscovered url re-inserts as a FRESH queued
+    row (last-wins resurrection) — while a bloom-backed store keeps
+    deduping it (the documented asymmetry)."""
+    store, pages, robots = _mini_crawl_store(spark, tmp_path)
+    n = store.expire(spark, "2026-02-01 00:00:00")
+    assert n == 6
+    assert store.state_counts(spark) == {"expired": 6}
+    # lineage: expire is terminal→terminal, queue stays drained
+    assert store.lineage_counts(spark).get("queued", 0) == 0
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["https://rc.example/p0", "https://rc.example/new"],
+             "priority": [0.0] * 2}
+        )
+    )
+    _, n_ins, n_dup = store.insert(spark, batch, "2026-03-01 00:00:00")
+    assert (n_ins, n_dup) == (2, 0)  # the expired url resurrects
+    counts = store.state_counts(spark)
+    assert counts == {"expired": 5, "queued": 2}
+
+    # bloom twin: same flow, the expired url STAYS deduped
+    store_b, _, _ = _mini_crawl_store(spark, tmp_path, seen_filter="bloom")
+    store_b.expire(spark, "2026-02-01 00:00:00")
+    _, n_ins_b, n_dup_b = store_b.insert(spark, batch, "2026-03-01 00:00:00")
+    assert (n_ins_b, n_dup_b) == (1, 1)
