@@ -23,6 +23,11 @@ Subcommands (each one pure DataFrame job over the frontier store):
       extraction and adaptive backoff
   extract --pages <parquet> --seeds <parquet> --corp-map <parquet> --out <dir>
       extract kernel + corp join → partitioned facts sink
+  recrawl --store <dir> --before <ts>
+      re-queue rows fetched before the cutoff (freshness loop)
+  expire --store <dir> --before <ts>
+      tombstone old terminal rows; on a cuckoo-backed store their
+      hashes also leave the seen filter (urls can resurrect)
   status --store <dir>
       frontier state counts from the latest snapshot
 
@@ -93,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="adaptive politeness: delay x (1 + f*fail_rate)")
     c.add_argument("--priority-decay", type=float, default=1.0,
                    help="discovered links inherit max(parent priority) - decay")
+
+    r = sub.add_parser("recrawl")
+    r.add_argument("--store", required=True)
+    r.add_argument("--before", required=True,
+                   help="re-queue rows fetched before this 'YYYY-MM-DD HH:MM:SS'")
+
+    ex = sub.add_parser("expire")
+    ex.add_argument("--store", required=True)
+    ex.add_argument("--before", required=True,
+                    help="tombstone terminal rows fetched before this timestamp")
 
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
@@ -173,6 +188,14 @@ def main(argv: list[str] | None = None) -> int:
         facts = pipeline.run_extract(pages, seeds, corp_map, args.run_ts)
         pipeline.write_facts(facts.drop("url"), args.out)
         print(json.dumps({"out": args.out}))
+    elif args.cmd == "recrawl":
+        store = FrontierStore(args.store)
+        n = store.recrawl(spark, args.before)
+        print(json.dumps({"requeued": n, "states": store.state_counts(spark)}))
+    elif args.cmd == "expire":
+        store = FrontierStore(args.store)
+        n = store.expire(spark, args.before)
+        print(json.dumps({"expired": n, "states": store.state_counts(spark)}))
     elif args.cmd == "status":
         store = FrontierStore(args.store)
         print(json.dumps(store.state_counts(spark)))

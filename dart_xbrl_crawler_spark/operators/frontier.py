@@ -46,7 +46,7 @@ class FrontierStore:
         storage: str = "parquet",
         n_buckets: int = 64,
         metrics_compact_every: int = 64,
-        seen_filter: str = "bloom",
+        seen_filter: str | None = None,
     ):
         if storage == "bucketed":
             # 10^10-row layout: base bucketed by url_hash → merge-on-read
@@ -81,10 +81,43 @@ class FrontierStore:
         self.metrics_compact_every = metrics_compact_every
         # 'bloom' (OR-merge incremental) or 'cuckoo' (insert/delete
         # incremental — supports retiring keys on expiry, which a Bloom
-        # structurally cannot); both probe through the same dedup plan
-        if seen_filter not in ("bloom", "cuckoo"):
-            raise ValueError(f"unknown seen_filter {seen_filter!r}")
-        self.seen_filter = seen_filter
+        # structurally cannot); both probe through the same dedup plan.
+        # The choice is a STORE property, not a session one: it persists
+        # in a config sidecar so a later process (e.g. the CLI's expire)
+        # reopens the store with the right filter semantics; an explicit
+        # conflicting argument is an error, not a silent mix.
+        self.seen_filter = self._resolve_seen_filter(path, seen_filter)
+        # previous round's fetch cache: must outlive run_round's return
+        # (fetched_pages derives from it) but not the NEXT round —
+        # released at the following run_round / release()
+        self._prev_fetched: DataFrame | None = None
+
+    @staticmethod
+    def _resolve_seen_filter(path: str, requested: str | None) -> str:
+        import json
+        import os
+
+        if requested is not None and requested not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {requested!r}")
+        cfg_path = path + "_config.json"
+        stored = None
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                stored = json.load(f).get("seen_filter")
+        if stored is not None:
+            if requested is not None and requested != stored:
+                raise ValueError(
+                    f"store at {path} was created with seen_filter="
+                    f"{stored!r}; cannot reopen as {requested!r}"
+                )
+            return stored
+        resolved = requested or "bloom"
+        os.makedirs(os.path.dirname(cfg_path) or ".", exist_ok=True)
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seen_filter": resolved}, f)
+        os.replace(tmp, cfg_path)
+        return resolved
         # previous round's fetch cache: must outlive run_round's return
         # (fetched_pages derives from it) but not the NEXT round —
         # released at the top of the following run_round so long

@@ -255,3 +255,21 @@ def test_expire_tombstones_and_allows_reinsert(spark, tmp_path):
     store_b.expire(spark, "2026-02-01 00:00:00")
     _, n_ins_b, n_dup_b = store_b.insert(spark, batch, "2026-03-01 00:00:00")
     assert (n_ins_b, n_dup_b) == (1, 1)
+
+
+def test_store_remembers_filter_kind(spark, tmp_path):
+    """seen_filter persists in the store config: a later process (e.g.
+    the CLI) reopens with the right semantics, and a conflicting
+    explicit argument errors instead of silently mixing filters."""
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    p = str(tmp_path / "cfg")
+    FrontierStore(p, seen_filter="cuckoo")
+    assert FrontierStore(p).seen_filter == "cuckoo"  # default reopen
+    assert FrontierStore(p, seen_filter="cuckoo").seen_filter == "cuckoo"
+    with pytest.raises(ValueError):
+        FrontierStore(p, seen_filter="bloom")
+    # default stores stay bloom
+    p2 = str(tmp_path / "cfg2")
+    FrontierStore(p2)
+    assert FrontierStore(p2).seen_filter == "bloom"
