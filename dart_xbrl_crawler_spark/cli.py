@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="limit seeds to run_ts - N*30 days .. run_ts")
     b.add_argument("--bgn-de", default=None, help="explicit YYYYMMDD window start (with --end-de)")
     b.add_argument("--end-de", default=None, help="explicit YYYYMMDD window end (with --bgn-de)")
+    b.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default=None,
+                   help="URL-seen structure for a NEW store (persisted; "
+                        "cuckoo adds deletion → expire/resurrect)")
 
     e = sub.add_parser("expand")
     e.add_argument("--urls", required=True)
@@ -120,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .operators.scheduler import date_window
 
-        store = FrontierStore(args.store)
+        store = FrontierStore(args.store, seen_filter=args.seen_filter)
         seeds = spark.read.parquet(args.seeds)
         if "url" in seeds.columns:
             # plain web seeds (url [, priority]) — bootstrap directly;
