@@ -47,6 +47,7 @@ class FrontierStore:
         n_buckets: int = 64,
         metrics_compact_every: int = 64,
         seen_filter: str | None = None,
+        filter_keep_last: int = 4,
     ):
         if storage == "bucketed":
             # 10^10-row layout: base bucketed by url_hash → merge-on-read
@@ -87,6 +88,12 @@ class FrontierStore:
         # reopens the store with the right filter semantics; an explicit
         # conflicting argument is an error, not a silent mix.
         self.seen_filter = self._resolve_seen_filter(path, seen_filter)
+        # every filter commit is a FULL filter image (at the 10^10-url
+        # design point ≈ 12 GB for the bloom) — an unbounded chain is a
+        # real disk leak over a long crawl.  Keep the last few (enough
+        # to pair with MergeTable rollbacks of recent snapshots); the
+        # latest is the only one reads ever touch.
+        self.filter_keep_last = filter_keep_last
         # previous round's fetch cache: must outlive run_round's return
         # (fetched_pages derives from it) but not the NEXT round —
         # released at the following run_round / release()
@@ -118,11 +125,6 @@ class FrontierStore:
             json.dump({"seen_filter": resolved}, f)
         os.replace(tmp, cfg_path)
         return resolved
-        # previous round's fetch cache: must outlive run_round's return
-        # (fetched_pages derives from it) but not the NEXT round —
-        # released at the top of the following run_round so long
-        # multi-round runs don't accumulate storage-memory pressure
-        self._prev_fetched: DataFrame | None = None
 
     def _commit_bloom_batch(
         self, spark: SparkSession, hashes: DataFrame, note: str
@@ -145,6 +147,7 @@ class FrontierStore:
                     expected_keys=self.expected_keys,
                 )
             self.bloom.commit(merged, note=note)
+            self.bloom.expire(self.filter_keep_last)
             return
         batch = D.build_seen_filter(
             hashes,
@@ -156,6 +159,7 @@ class FrontierStore:
         else:
             merged = batch
         self.bloom.commit(merged, note=note)
+        self.bloom.expire(self.filter_keep_last)
 
     def retire_seen(self, spark: SparkSession, hashes: DataFrame) -> None:
         """Remove url_hashes from the seen filter (cuckoo only —
@@ -170,6 +174,7 @@ class FrontierStore:
             ),
             note="retire",
         )
+        self.bloom.expire(self.filter_keep_last)
 
     def _commit_insert_metrics(
         self, spark: SparkSession, fresh: DataFrame, n_fresh: int, n_dup: int

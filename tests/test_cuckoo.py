@@ -273,3 +273,49 @@ def test_store_remembers_filter_kind(spark, tmp_path):
     p2 = str(tmp_path / "cfg2")
     FrontierStore(p2)
     assert FrontierStore(p2).seen_filter == "bloom"
+
+
+def test_filter_chain_bounded(spark, tmp_path):
+    """Each insert commits a FULL filter image (≈12 GB at the 10^10
+    design point) — the chain must not grow one copy per round.  Both
+    store kinds keep ≤ filter_keep_last snapshots on disk while dedup
+    exactness is unaffected."""
+    import os
+
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    for kind in ("bloom", "cuckoo"):
+        store = FrontierStore(
+            str(tmp_path / kind), n_bloom_shards=4, expected_keys=4_096,
+            seen_filter=kind, filter_keep_last=3,
+        )
+        store.bootstrap(
+            spark.createDataFrame(
+                pd.DataFrame({"url": ["https://fb.example/seed"], "priority": [0.0]})
+            ),
+            RUN_TS,
+        )
+        for i in range(6):
+            batch = spark.createDataFrame(
+                pd.DataFrame(
+                    {"url": [f"https://fb.example/b{i}-{j}" for j in range(5)],
+                     "priority": [0.0] * 5}
+                )
+            )
+            _, n_ins, n_dup = store.insert(spark, batch, RUN_TS)
+            assert (n_ins, n_dup) == (5, 0)
+        assert len(store.bloom.snapshots()) <= 3
+        dirs = [d for d in os.listdir(str(tmp_path / kind) + "_bloom")
+                if d.startswith("snap-")]
+        assert len(dirs) <= 3  # old full images GC'd from disk
+        # dedup still exact after expiry
+        _, n_ins, n_dup = store.insert(
+            spark,
+            spark.createDataFrame(
+                pd.DataFrame({"url": ["https://fb.example/b0-0",
+                                       "https://fb.example/freshest"],
+                              "priority": [0.0] * 2})
+            ),
+            RUN_TS,
+        )
+        assert (n_ins, n_dup) == (1, 1)
