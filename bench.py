@@ -301,13 +301,14 @@ def main() -> None:
         return d
 
     # one pages dir per campaign quantum (full/half/quarter) — a
-    # degraded attempt reads a smaller dir, it never .limit()s
+    # degraded attempt reads a smaller dir, it never .limit()s.  The
+    # smaller dirs are only materialized when a scaling campaign can
+    # actually degrade (skip-scaling runs shouldn't pay the synth).
     pages_dir = _pages_dir(n_docs)
-    pages_dirs = {
-        n_docs: pages_dir,
-        n_docs // 2: _pages_dir(n_docs // 2),
-        n_docs // 4: _pages_dir(n_docs // 4),
-    }
+    pages_dirs = {n_docs: pages_dir}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        pages_dirs[n_docs // 2] = _pages_dir(n_docs // 2)
+        pages_dirs[n_docs // 4] = _pages_dir(n_docs // 4)
     spark.stop()
 
     def _result(throughput: dict) -> dict:
@@ -322,15 +323,27 @@ def main() -> None:
 
     throughput: dict = {"crawl_failed": True, "n_docs": n_docs, "n_urls": n_urls}
     best_hi: dict | None = None
+    best_hi_quantum: tuple | None = None
 
     def _adopt_hi(hi_r: dict, quantum: tuple[int, int, int | None]) -> None:
         """The hi leg repeats the production-shaped crawl round — it IS
-        the headline measurement.  Best (fastest full-quantum, else any)
-        wins so one collapsed window can't misrepresent throughput."""
-        nonlocal best_hi
-        if best_hi is not None and _t_total(best_hi) <= _t_total(hi_r):
-            return
+        the headline measurement.  A LARGER quantum always outranks a
+        smaller one (a degraded half-quantum run doing half the work is
+        trivially 'faster' in wall seconds — comparing raw totals across
+        quanta would let it steal the headline from a clean full-quantum
+        measurement); within the same quantum the faster run wins so one
+        collapsed window can't misrepresent throughput."""
+        nonlocal best_hi, best_hi_quantum
+        if best_hi is not None:
+            if best_hi_quantum[0] > quantum[0]:
+                return
+            if (
+                best_hi_quantum[0] == quantum[0]
+                and _t_total(best_hi) <= _t_total(hi_r)
+            ):
+                return
         best_hi = hi_r
+        best_hi_quantum = quantum
         qu, qp, qd = quantum
         timings["crawl_insert"] = round(hi_r["t_ins"], 3)
         timings["crawl_frontier_pop"] = round(hi_r["t_pop"], 3)
@@ -371,6 +384,7 @@ def main() -> None:
     # more slowly (pop_mult grows as urls shrink) because the pop stage
     # carries the composed efficiency.
     lo = hi = None
+    best_q = None
     attempts_run = 0
     steal_pct = None
     busy0, steal0 = _cpu_stat()
@@ -414,12 +428,13 @@ def main() -> None:
                 continue
             eff = (_t_total(lo_r) / _t_total(hi_a)) / 4.0
             if eff > best_eff:
-                best_eff, lo, hi = eff, lo_r, hi_a
+                best_eff, lo, hi, best_q = eff, lo_r, hi_a, quantum
             # attach best-so-far scaling IMMEDIATELY — a driver kill
             # during a later run must not erase a completed campaign
             # (calibration numbers join in the final emit)
             throughput["scaling"] = _scaling_block(
-                cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, {}
+                cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, {},
+                best_q,
             )
             _emit(_result(throughput))
             # sandwich upgrade: a second hi leg scores lo against the
@@ -433,10 +448,10 @@ def main() -> None:
                     _adopt_hi(hi_b, quantum)
                     eff_b = (_t_total(lo_r) / _t_total(hi_b)) / 4.0
                     if eff_b > best_eff:
-                        best_eff, lo, hi = eff_b, lo_r, hi_b
+                        best_eff, lo, hi, best_q = eff_b, lo_r, hi_b, quantum
                     throughput["scaling"] = _scaling_block(
                         cores_lo, cores_hi, lo, hi, attempts_run,
-                        steal_pct, {},
+                        steal_pct, {}, best_q,
                     )
                     _emit(_result(throughput))
                 except subprocess.TimeoutExpired:
@@ -455,7 +470,7 @@ def main() -> None:
 
     calib = _cpu_calibration(cores_lo, cores_hi) if _remaining() > 30 else {}
     throughput["scaling"] = _scaling_block(
-        cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, calib
+        cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, calib, best_q
     )
     timings["scaling_lo"] = round(_t_total(lo), 3)
     timings["scaling_hi"] = round(_t_total(hi), 3)
@@ -470,8 +485,15 @@ def _scaling_block(
     attempts: int,
     steal_pct,
     calib: dict,
+    quantum: tuple | None = None,
 ) -> dict:
     t_lo, t_hi = _t_total(lo), _t_total(hi)
+    q = (
+        {"quantum_urls": quantum[0], "quantum_pop_mult": quantum[1],
+         "quantum_docs": quantum[2]}
+        if quantum
+        else {}
+    )
     ceiling = min(4.0, calib.get("machine_speedup_alloc", 4.0))
     return {
         "cores_lo": cores_lo,
@@ -489,6 +511,7 @@ def _scaling_block(
         "efficiency_vs_alloc_ceiling": round((t_lo / t_hi) / ceiling, 3),
         "attempts": attempts,
         "steal_pct_during_scaling": steal_pct,
+        **q,
         **_pop_var_block(lo, hi),
         **calib,
     }

@@ -43,15 +43,21 @@ def register_parser(
     sniff: Callable[[bytes], bool], parse: Callable[..., dict | None]
 ) -> None:
     """Prepend a (sniff, parse) pair — later registrations win.
-    ``parse`` may take (body) or (body, aux); 1-arg parsers are
-    wrapped so external registrations keep working unchanged."""
+    ``parse`` may take (body) or (body, aux); parsers that do not
+    declare an ``aux`` parameter are wrapped so the labels dict is
+    never passed where an unrelated defaulted option lives — e.g. a
+    legacy ``parse(body, strict=False)`` must NOT silently receive
+    aux as ``strict``."""
     import inspect
 
     try:
-        n_params = len(inspect.signature(parse).parameters)
+        params = inspect.signature(parse).parameters
+        wants_aux = "aux" in params or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
     except (TypeError, ValueError):
-        n_params = 1
-    if n_params == 1:
+        wants_aux = False
+    if not wants_aux:
         inner = parse
 
         def parse(body, aux=None, _inner=inner):  # noqa: ANN001
@@ -138,7 +144,7 @@ def parse_document(html: bytes) -> tuple[str | None, dict | None]:
         aux = {"labels": labels}
         for sniff, parse in _REGISTRY:
             if sniff(body):
-                return corp_code, parse(body, aux)
+                return corp_code, parse(body, aux=aux)
         return None, None
     except Exception:
         return None, None

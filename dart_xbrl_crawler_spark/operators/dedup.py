@@ -492,6 +492,7 @@ def _cuckoo_update(
     n_shards: int,
     op: str,
     expected_per_shard: int | None = None,
+    default_m: int | None = None,
 ) -> DataFrame:
     """Shard-aligned cogroup applying ``op`` ('insert' | 'delete') of
     keys(url_hash) to the stored tables — the incremental path.  Each
@@ -509,7 +510,11 @@ def _cuckoo_update(
             if op == "insert" and not left.empty:
                 hashes = left["url_hash"].to_numpy(dtype=np.int64)
                 s = int(left["shard"].iloc[0])
-                m = _cuckoo_m(expected_per_shard or len(hashes))
+                m = (
+                    _cuckoo_m(expected_per_shard)
+                    if expected_per_shard
+                    else (default_m or _cuckoo_m(len(hashes)))
+                )
                 table = np.zeros((m, _CUCKOO_SLOTS), dtype=np.uint16)
                 failed = _cuckoo_insert_keys(table, hashes, rng_seed=s)
                 if failed:
@@ -565,8 +570,19 @@ def cuckoo_insert(
     n_shards: int = 64,
     expected_per_shard: int | None = None,
 ) -> DataFrame:
+    """Without an ``expected_per_shard`` hint, a shard the seed build
+    never touched is sized to MATCH the existing shards' bucket count
+    (one tiny metadata aggregate) — sizing it from the current batch
+    alone would break the table-lifetime capacity contract and overflow
+    on the next insert."""
+    default_m = None
+    if expected_per_shard is None:
+        row = cuckoo.agg(F.max("m_buckets").alias("m")).first()
+        if row is not None and row["m"] is not None:
+            default_m = int(row["m"])
     return _cuckoo_update(
-        cuckoo, keys, n_shards, "insert", expected_per_shard=expected_per_shard
+        cuckoo, keys, n_shards, "insert",
+        expected_per_shard=expected_per_shard, default_m=default_m,
     )
 
 

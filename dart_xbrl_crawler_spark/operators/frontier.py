@@ -118,13 +118,17 @@ class FrontierStore:
                     f"{stored!r}; cannot reopen as {requested!r}"
                 )
             return stored
-        resolved = requested or "bloom"
+        if requested is None:
+            # default open (status/fetch/a pre-bootstrap probe): do NOT
+            # stamp the config — a read-only command must not pin the
+            # filter kind before the store is actually created
+            return "bloom"
         os.makedirs(os.path.dirname(cfg_path) or ".", exist_ok=True)
         tmp = cfg_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"seen_filter": resolved}, f)
+            json.dump({"seen_filter": requested}, f)
         os.replace(tmp, cfg_path)
-        return resolved
+        return requested
 
     def _commit_bloom_batch(
         self, spark: SparkSession, hashes: DataFrame, note: str
@@ -330,6 +334,7 @@ class FrontierStore:
         max_per_host: int | None = None,
         n_partitions: int = 32,
         n_hosts_hint: int | None = None,
+        broadcast_robots: bool = True,
     ) -> tuple[str, DataFrame]:
         """Pop a politeness-bounded batch, 'fetch' it (bytes come from
         the pages table — the sandbox stand-in for HTTP), transition
@@ -354,6 +359,7 @@ class FrontierStore:
             salt_buckets=salt_buckets,
             max_per_host=max_per_host,
             n_hosts_hint=n_hosts_hint,
+            broadcast_robots=broadcast_robots,
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         selected = popped.filter(F.col("selected"))
@@ -381,16 +387,24 @@ class FrontierStore:
         # round is the pop's own scan.
         fcols = frontier.columns
         fetch_ts = F.to_timestamp(F.lit(run_ts))
+        # fetch_ts stamps EVERY transition (fetched = success time,
+        # failed = attempt time, robots_blocked = decision time) — the
+        # freshness loop's `fetch_ts < cutoff` predicates must be able
+        # to select failed/blocked rows for retry/expiry; a NULL there
+        # made those states permanently terminal (never matched)
         changed = (
             ok.withColumn("state", F.lit("fetched"))
             .withColumn("fetch_ts", fetch_ts)
             .select(*fcols)
             .unionByName(
-                missing.withColumn("state", F.lit("failed")).select(*fcols)
+                missing.withColumn("state", F.lit("failed"))
+                .withColumn("fetch_ts", fetch_ts)
+                .select(*fcols)
             )
             .unionByName(
                 popped.filter(F.col("robots_blocked"))
                 .withColumn("state", F.lit("robots_blocked"))
+                .withColumn("fetch_ts", fetch_ts)
                 .select(*fcols)
             )
         )
@@ -581,6 +595,7 @@ class FrontierStore:
         text_out: str | None = None,
         backoff_factor: float | None = None,
         priority_decay: float = 1.0,
+        broadcast_robots: bool = True,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -604,7 +619,7 @@ class FrontierStore:
                 spark, pages, robots, run_ts, max_rounds, round_ms,
                 salt_buckets, max_per_host, n_partitions, discover,
                 text_out, backoff_factor, priority_decay, extract_links,
-                summaries,
+                summaries, broadcast_robots,
             )
         finally:
             self.release()
@@ -614,6 +629,7 @@ class FrontierStore:
         self, spark, pages, robots, run_ts, max_rounds, round_ms,
         salt_buckets, max_per_host, n_partitions, discover, text_out,
         backoff_factor, priority_decay, extract_links, summaries,
+        broadcast_robots=True,
     ) -> None:
         for rid in range(max_rounds):
             # O(|metrics|) queue check — never a frontier scan.  A store
@@ -631,7 +647,8 @@ class FrontierStore:
                 # adaptive politeness: scale delays by the failure rates
                 # observed in earlier rounds (per-host metrics chain)
                 robots_rid = P.apply_backoff(
-                    robots, self.host_stats(spark), factor=backoff_factor
+                    robots, self.host_stats(spark), factor=backoff_factor,
+                    broadcast=broadcast_robots,
                 )
             snap, fetched_pages = self.run_round(
                 spark,
@@ -643,6 +660,7 @@ class FrontierStore:
                 salt_buckets=salt_buckets,
                 max_per_host=max_per_host,
                 n_partitions=n_partitions,
+                broadcast_robots=broadcast_robots,
             )
             n_fetched = fetched_pages.count()
             if text_out and n_fetched:
@@ -741,10 +759,23 @@ class FrontierStore:
         n_trans = sum(v for k, v in agg.items() if k not in ("deduped", "expired"))
         if queued_in < n_trans:
             # store bootstrapped before insert metrics existed: the
-            # chain undercounts inserts.  Fall back to the exact scan
-            # once rather than reporting a negative queue (which would
-            # also defeat run_crawl's drain check).
-            out["queued"] = self.state_counts(spark).get("queued", 0)
+            # chain undercounts inserts.  Fall back to the exact scan,
+            # then REPAIR the chain with a corrective 'queued' row so
+            # this O(|frontier|) scan really happens once — without the
+            # repair every later call (run_crawl's per-round drain
+            # check) would rescan the full table forever.
+            exact_queued = self.state_counts(spark).get("queued", 0)
+            correction = exact_queued + n_trans - queued_in
+            if correction > 0:
+                self.metrics.commit(
+                    spark.createDataFrame(
+                        [(-1, -1, "queued", correction)],
+                        schema="round_id int, partition_id int, "
+                        "state string, n long",
+                    ),
+                    note="legacy chain repair",
+                )
+            out["queued"] = exact_queued
         elif queued_in - n_trans:
             out["queued"] = queued_in - n_trans
         return out

@@ -319,3 +319,48 @@ def test_filter_chain_bounded(spark, tmp_path):
             RUN_TS,
         )
         assert (n_ins, n_dup) == (1, 1)
+
+
+def test_recrawl_covers_failed_rows(spark, tmp_path):
+    """failed (and robots_blocked) transitions stamp fetch_ts too, so
+    the freshness predicates can actually select them — a failed fetch
+    retries via recrawl instead of being permanently terminal."""
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    pages = spark.createDataFrame(  # only ONE of the two urls has bytes
+        pd.DataFrame(
+            {
+                "url": ["https://fl.example/ok"],
+                "html": [b"<html>x</html>"],
+                "warc_ts": [pd.Timestamp("2026-01-01")],
+            }
+        ),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("fl.example", None, 100)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "fl"), n_bloom_shards=4)
+    store.bootstrap(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"url": ["https://fl.example/ok", "https://fl.example/missing"],
+                 "priority": [0.0] * 2}
+            )
+        ),
+        RUN_TS,
+    )
+    store.run_round(spark, pages, robots, RUN_TS, round_id=0, round_ms=100_000)
+    assert store.state_counts(spark) == {"fetched": 1, "failed": 1}
+    n = store.recrawl(spark, "2026-02-01 00:00:00")
+    assert n == 2  # the FAILED row requeues along with the fetched one
+    assert store.state_counts(spark) == {"queued": 2}
+    # failed-only retry: refetch, then requeue just the failures
+    store.run_round(
+        spark, pages, robots, "2026-03-01 00:00:00", round_id=1,
+        round_ms=100_000,
+    )
+    n2 = store.recrawl(spark, "2026-04-01 00:00:00", states=("failed",))
+    assert n2 == 1
+    assert store.state_counts(spark) == {"fetched": 1, "queued": 1}
