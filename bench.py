@@ -464,6 +464,21 @@ def main() -> None:
     except Exception as exc:  # scaling must never eat the JSON line
         print(f"scaling campaign failed: {exc}", file=sys.stderr)
 
+    # rescue: every attempt voided (a run of collapsed windows) and the
+    # artifact has no crawl throughput at all — one last quarter-quantum
+    # hi run with whatever budget remains beats an empty block
+    if best_hi is None and _remaining() > 70:
+        try:
+            q_urls, q_pop, q_docs = n_urls // 4, pop_mult * 2, n_docs // 4
+            rescue = _crawl_subprocess(
+                cores_hi, pages_dirs.get(q_docs, pages_dir), q_urls, q_pop,
+                max(60.0, _remaining() - 15),
+            )
+            _adopt_hi(rescue, (q_urls, q_pop, q_docs))
+            _emit(_result(throughput))
+        except Exception as exc:
+            print(f"rescue run failed: {exc}", file=sys.stderr)
+
     if lo is None or hi is None:
         _emit(_result(throughput))
         return
