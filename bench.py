@@ -469,7 +469,7 @@ def main() -> None:
     # hi run with whatever budget remains beats an empty block
     if best_hi is None and _remaining() > 70:
         try:
-            q_urls, q_pop, q_docs = n_urls // 4, pop_mult * 2, n_docs // 4
+            q_urls, q_pop, q_docs = quanta[2][:3]  # the quarter quantum
             rescue = _crawl_subprocess(
                 cores_hi, pages_dirs.get(q_docs, pages_dir), q_urls, q_pop,
                 max(60.0, _remaining() - 15),

@@ -43,23 +43,45 @@ def register_parser(
     sniff: Callable[[bytes], bool], parse: Callable[..., dict | None]
 ) -> None:
     """Prepend a (sniff, parse) pair — later registrations win.
-    ``parse`` may take (body) or (body, aux); parsers that do not
-    declare an ``aux`` parameter are wrapped so the labels dict is
-    never passed where an unrelated defaulted option lives — e.g. a
-    legacy ``parse(body, strict=False)`` must NOT silently receive
-    aux as ``strict``."""
+    ``parse`` may take (body) or (body, aux); the calling convention is
+    resolved ONCE here from the signature so every shape keeps working:
+      * two required positional params (incl. positional-only aux and
+        *args) → called positionally parse(body, aux);
+      * a named ``aux`` param or **kwargs → called parse(body, aux=aux);
+      * anything else (1-arg parsers, incl. ones with unrelated
+        defaulted options like parse(body, strict=False)) → aux is
+        DROPPED, never passed where an option lives."""
     import inspect
 
+    inner = parse
     try:
         params = inspect.signature(parse).parameters
-        wants_aux = "aux" in params or any(
+        required = [
+            p
+            for p in params.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        var_pos = any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL for p in params.values()
+        )
+        var_kw = any(
             p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
         )
+        if len(required) >= 2 or var_pos:
+            def parse(body, aux=None, _inner=inner):  # noqa: ANN001
+                return _inner(body, aux)
+        elif "aux" in params or var_kw:
+            def parse(body, aux=None, _inner=inner):  # noqa: ANN001
+                return _inner(body, aux=aux)
+        else:
+            def parse(body, aux=None, _inner=inner):  # noqa: ANN001
+                return _inner(body)
     except (TypeError, ValueError):
-        wants_aux = False
-    if not wants_aux:
-        inner = parse
-
         def parse(body, aux=None, _inner=inner):  # noqa: ANN001
             return _inner(body)
 

@@ -72,6 +72,7 @@ class FrontierStore:
                 compact_every=compact_every,
                 expire_keep_last=expire_keep_last,
             )
+        self.table_path = path
         self.host_metrics = SnapshotTable(path + "_host_metrics")
         self.metrics = SnapshotTable(path + "_metrics")
         self.bloom = SnapshotTable(path + "_bloom")
@@ -98,6 +99,9 @@ class FrontierStore:
         # (fetched_pages derives from it) but not the NEXT round —
         # released at the following run_round / release()
         self._prev_fetched: DataFrame | None = None
+        # legacy-store queue undercount (see lineage_counts) — measured
+        # once per process by an exact scan, then applied as an offset
+        self._queued_correction: int | None = None
 
     @staticmethod
     def _resolve_seen_filter(path: str, requested: str | None) -> str:
@@ -118,17 +122,27 @@ class FrontierStore:
                     f"{stored!r}; cannot reopen as {requested!r}"
                 )
             return stored
-        if requested is None:
-            # default open (status/fetch/a pre-bootstrap probe): do NOT
-            # stamp the config — a read-only command must not pin the
-            # filter kind before the store is actually created
-            return "bloom"
+        # no stored config: resolve but do NOT stamp here — a read-only
+        # open (status/a pre-bootstrap probe) must not pin the filter
+        # kind.  The stamp happens at the first WRITE (_stamp_config
+        # from bootstrap/insert), so every created store is pinned and
+        # a later conflicting explicit reopen still errors.
+        return requested or "bloom"
+
+    def _stamp_config(self) -> None:
+        """Persist the resolved filter kind at store-creation time (the
+        first write path) if not already pinned."""
+        import json
+        import os
+
+        cfg_path = self.table_path + "_config.json"
+        if os.path.exists(cfg_path):
+            return
         os.makedirs(os.path.dirname(cfg_path) or ".", exist_ok=True)
         tmp = cfg_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"seen_filter": requested}, f)
+            json.dump({"seen_filter": self.seen_filter}, f)
         os.replace(tmp, cfg_path)
-        return requested
 
     def _commit_bloom_batch(
         self, spark: SparkSession, hashes: DataFrame, note: str
@@ -136,6 +150,7 @@ class FrontierStore:
         """Fold a batch of url_hashes into the stored seen filter —
         bloom: partial build + OR-merge; cuckoo: shard-aligned
         incremental insert into the stored tables."""
+        self._stamp_config()  # first write pins the filter kind
         if self.seen_filter == "cuckoo":
             if self.bloom.snapshots():
                 merged = D.cuckoo_insert(
@@ -757,25 +772,18 @@ class FrontierStore:
         # 'deduped' is an insert-side counter and 'expired' transitions
         # FROM already-terminal states — neither consumes a queue slot
         n_trans = sum(v for k, v in agg.items() if k not in ("deduped", "expired"))
-        if queued_in < n_trans:
+        if self._queued_correction is None and queued_in < n_trans:
             # store bootstrapped before insert metrics existed: the
-            # chain undercounts inserts.  Fall back to the exact scan,
-            # then REPAIR the chain with a corrective 'queued' row so
-            # this O(|frontier|) scan really happens once — without the
-            # repair every later call (run_crawl's per-round drain
-            # check) would rescan the full table forever.
+            # chain undercounts inserts by a CONSTANT (the unrecorded
+            # bootstrap rows).  One exact scan measures that offset;
+            # it's memoized in-memory so a long run_crawl's per-round
+            # drain checks stay O(|metrics|) — and a read accessor
+            # never writes to the store (a concurrent or read-only
+            # caller must be safe).
             exact_queued = self.state_counts(spark).get("queued", 0)
-            correction = exact_queued + n_trans - queued_in
-            if correction > 0:
-                self.metrics.commit(
-                    spark.createDataFrame(
-                        [(-1, -1, "queued", correction)],
-                        schema="round_id int, partition_id int, "
-                        "state string, n long",
-                    ),
-                    note="legacy chain repair",
-                )
-            out["queued"] = exact_queued
-        elif queued_in - n_trans:
-            out["queued"] = queued_in - n_trans
+            self._queued_correction = exact_queued + n_trans - queued_in
+        if self._queued_correction:
+            queued_in += self._queued_correction
+        if queued_in - n_trans:
+            out["queued"] = max(0, queued_in - n_trans)
         return out

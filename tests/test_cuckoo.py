@@ -258,21 +258,33 @@ def test_expire_tombstones_and_allows_reinsert(spark, tmp_path):
 
 
 def test_store_remembers_filter_kind(spark, tmp_path):
-    """seen_filter persists in the store config: a later process (e.g.
-    the CLI) reopens with the right semantics, and a conflicting
-    explicit argument errors instead of silently mixing filters."""
+    """seen_filter persists in the store config at the FIRST WRITE
+    (bootstrap/insert — a read-only open like `status` on an empty path
+    must not pin the kind): a later process reopens with the right
+    semantics, and a conflicting explicit argument errors instead of
+    silently mixing filters."""
     from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
 
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://cfg.example/a"], "priority": [0.0]})
+    )
     p = str(tmp_path / "cfg")
-    FrontierStore(p, seen_filter="cuckoo")
+    # a pre-creation read-only open does NOT pin the kind...
+    FrontierStore(p)
+    store = FrontierStore(p, seen_filter="cuckoo")  # ...so this still works
+    store.bootstrap(seeds, RUN_TS)  # first write stamps the config
     assert FrontierStore(p).seen_filter == "cuckoo"  # default reopen
     assert FrontierStore(p, seen_filter="cuckoo").seen_filter == "cuckoo"
     with pytest.raises(ValueError):
         FrontierStore(p, seen_filter="bloom")
-    # default stores stay bloom
+    # default-created stores pin bloom at their first write too — a
+    # later explicit cuckoo reopen errors instead of misreading the
+    # bloom snapshot chain as cuckoo tables
     p2 = str(tmp_path / "cfg2")
-    FrontierStore(p2)
+    FrontierStore(p2).bootstrap(seeds, RUN_TS)
     assert FrontierStore(p2).seen_filter == "bloom"
+    with pytest.raises(ValueError):
+        FrontierStore(p2, seen_filter="cuckoo")
 
 
 def test_filter_chain_bounded(spark, tmp_path):

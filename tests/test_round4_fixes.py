@@ -611,3 +611,54 @@ def test_robots_and_backoff_no_forced_broadcast(spark):
         frontier, robots
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan_default
+
+
+# ----------------------------- parser registry calling conventions
+def test_register_parser_calling_conventions():
+    """Every historical and current parse signature keeps working:
+    1-arg, defaulted-option, keyword aux, positional aux, **kwargs."""
+    from dart_xbrl_crawler_spark import doc_parsers as DP
+
+    seen = {}
+
+    def reg(name, fn):
+        DP.register_parser(lambda b, _n=name: b == _n.encode(), fn)
+
+    reg("one", lambda body: seen.setdefault("one", "noaux") or {"doc_format": "x"})
+
+    def with_option(body, strict=False):
+        seen["opt"] = strict  # must stay False — aux must NOT land here
+        return {"doc_format": "x"}
+
+    reg("opt", with_option)
+
+    def with_aux_kw(body, aux=None):
+        seen["kw"] = aux
+        return {"doc_format": "x"}
+
+    reg("kw", with_aux_kw)
+
+    def with_aux_pos(body, ctx):
+        seen["pos"] = ctx
+        return {"doc_format": "x"}
+
+    reg("pos", with_aux_pos)
+
+    def with_kwargs(body, **kwargs):
+        seen["var"] = kwargs.get("aux")
+        return {"doc_format": "x"}
+
+    reg("var", with_kwargs)
+
+    try:
+        aux = {"labels": {"c": {"ko": "라벨"}}}
+        for name in ("one", "opt", "kw", "pos", "var"):
+            for sniff, parse in DP._REGISTRY:
+                if sniff(name.encode()):
+                    parse(name.encode(), aux=aux)
+                    break
+        assert seen["one"] == "noaux"
+        assert seen["opt"] is False
+        assert seen["kw"] == aux and seen["pos"] == aux and seen["var"] == aux
+    finally:
+        del DP._REGISTRY[:5]  # restore the registry
