@@ -299,10 +299,19 @@ class FrontierStore:
                 )
                 bloom = self.bloom.read(spark)
             n_in = batch.count()
+            seen = frontier
+            if self.seen_filter == "cuckoo":
+                # expired rows are tombstones: retire_seen already pulled
+                # their hashes from the filter, but a filter false
+                # positive (~1.2e-4 at 16-bit tags) would exact-confirm
+                # against the tombstone row itself and permanently dedup
+                # a url expire() promised could resurrect — the exact
+                # confirm must never see tombstones
+                seen = frontier.filter(F.col("state") != "expired")
             fresh = (
                 D.dedup_urls(
                     canon,
-                    frontier,
+                    seen,
                     bloom,
                     self.n_bloom_shards,
                     # overlap ≤ |batch| — keeps dedup's zero-extra-action
@@ -347,7 +356,7 @@ class FrontierStore:
         round_ms: int = 60_000,
         salt_buckets: int = 32,
         max_per_host: int | None = None,
-        n_partitions: int = 32,
+        n_partitions: int | None = None,
         n_hosts_hint: int | None = None,
         broadcast_robots: bool = True,
     ) -> tuple[str, DataFrame]:
@@ -355,7 +364,14 @@ class FrontierStore:
         the pages table — the sandbox stand-in for HTTP), transition
         states, commit ONE delta snapshot holding only the touched rows.
         Returns (snapshot_id, fetched pages DataFrame ready for the
-        extract stage)."""
+        extract stage).
+
+        Metrics-chain compaction deliberately does NOT run here: the
+        returned fetched_pages (and the incoming backoff-adjusted
+        robots) carry lazy lineage into the chain files, and compaction
+        deletes them.  run_crawl folds the chains between rounds;
+        callers driving run_round directly over many rounds should call
+        ``_maybe_compact_metrics`` between rounds the same way."""
         # release the PREVIOUS round's fetch cache (it had to outlive
         # that round's return — fetched_pages derives from it)
         if self._prev_fetched is not None:
@@ -447,7 +463,6 @@ class FrontierStore:
             .withColumnRenamed("count", "n"),
             note=f"round={round_id}",
         )
-        self._maybe_compact_metrics(spark)
 
         fetched_pages = ok.select(
             "url",
@@ -484,26 +499,29 @@ class FrontierStore:
             F.col("state").isin(*states)
             & (F.col("fetch_ts") < F.to_timestamp(F.lit(before_ts)))
         )
+        # localCheckpoint, not persist: `changed` is consumed AFTER
+        # commit_delta flips these very rows to 'queued' — a lost cache
+        # block would recompute the filter over the post-commit frontier
+        # and silently see nothing; checkpointing truncates the lineage
+        # so the pre-commit selection is pinned (same pattern as
+        # dedup_urls' confirmed set)
         changed = stale.withColumn("state", F.lit("queued")).withColumn(
             "fetch_ts", F.lit(None).cast("timestamp")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n = changed.count()
-            if n:
-                self.table.commit_delta(spark, changed, note=f"recrawl<{before_ts}")
-                self.metrics.commit(
-                    changed.groupBy(
-                        F.lit(-3).alias("round_id"),
-                        F.spark_partition_id().alias("partition_id"),
-                        F.lit("queued").alias("state"),
-                    )
-                    .count()
-                    .withColumnRenamed("count", "n"),
-                    note="recrawl lineage",
+        ).localCheckpoint(eager=True)
+        n = changed.count()
+        if n:
+            self.table.commit_delta(spark, changed, note=f"recrawl<{before_ts}")
+            self.metrics.commit(
+                changed.groupBy(
+                    F.lit(-3).alias("round_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    F.lit("queued").alias("state"),
                 )
-            return n
-        finally:
-            changed.unpersist()
+                .count()
+                .withColumnRenamed("count", "n"),
+                note="recrawl lineage",
+            )
+        return n
 
     def expire(
         self,
@@ -527,28 +545,31 @@ class FrontierStore:
             F.col("state").isin(*states)
             & (F.col("fetch_ts") < F.to_timestamp(F.lit(before_ts)))
         )
-        changed = old.withColumn("state", F.lit("expired")).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # localCheckpoint, not persist: retire_seen reads `changed` AFTER
+        # commit_delta has flipped these rows to 'expired' — if a cache
+        # block were lost in between, the recomputed filter (state in
+        # `states`) would match nothing post-commit, retire_seen would
+        # delete nothing from the cuckoo filter, and the expired urls
+        # could never resurrect.  Checkpointing pins the pre-commit rows.
+        changed = old.withColumn("state", F.lit("expired")).localCheckpoint(
+            eager=True
         )
-        try:
-            n = changed.count()
-            if n:
-                self.table.commit_delta(spark, changed, note=f"expire<{before_ts}")
-                self.metrics.commit(
-                    changed.groupBy(
-                        F.lit(-3).alias("round_id"),
-                        F.spark_partition_id().alias("partition_id"),
-                        F.lit("expired").alias("state"),
-                    )
-                    .count()
-                    .withColumnRenamed("count", "n"),
-                    note="expire lineage",
+        n = changed.count()
+        if n:
+            self.table.commit_delta(spark, changed, note=f"expire<{before_ts}")
+            self.metrics.commit(
+                changed.groupBy(
+                    F.lit(-3).alias("round_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    F.lit("expired").alias("state"),
                 )
-                if self.seen_filter == "cuckoo":
-                    self.retire_seen(spark, changed.select("url_hash"))
-            return n
-        finally:
-            changed.unpersist()
+                .count()
+                .withColumnRenamed("count", "n"),
+                note="expire lineage",
+            )
+            if self.seen_filter == "cuckoo":
+                self.retire_seen(spark, changed.select("url_hash"))
+        return n
 
     def _maybe_compact_metrics(self, spark: SparkSession) -> None:
         """Bound the metrics chains: past ``metrics_compact_every``
@@ -605,7 +626,7 @@ class FrontierStore:
         round_ms: int = 60_000,
         salt_buckets: int = 32,
         max_per_host: int | None = None,
-        n_partitions: int = 32,
+        n_partitions: int | None = None,
         discover: bool = True,
         text_out: str | None = None,
         backoff_factor: float | None = None,
@@ -647,6 +668,17 @@ class FrontierStore:
         broadcast_robots=True,
     ) -> None:
         for rid in range(max_rounds):
+            # compact the metrics chains BETWEEN rounds, never inside
+            # one: compaction rewrites the chains and GCs the old
+            # snapshot dirs, and a round's live frames (popped, fetched,
+            # the backoff-adjusted robots) all carry lazy lineage into
+            # those files — a lost cache block after an in-round
+            # compaction would recompute through deleted dirs and throw.
+            # Here nothing is live yet: the previous round's fetch cache
+            # is released first (its consumers all ran last iteration),
+            # and this round's robots frame is built AFTER the fold.
+            self.release()
+            self._maybe_compact_metrics(spark)
             # O(|metrics|) queue check — never a frontier scan.  A store
             # written before lineage metrics existed has no chain yet:
             # fall back to the exact count once (its first round commits

@@ -540,7 +540,24 @@ def pop_round(
     )
 
 
-def fetch_partitioning(selected: DataFrame, n_partitions: int) -> DataFrame:
+def fetch_partitioning(
+    selected: DataFrame,
+    n_partitions: int | None = None,
+    target_rows_per_task: int = 5_000,
+) -> DataFrame:
     """Spread the selected set for the fetch stage: co-locate by host
-    for connection reuse, salt so a giant host spans many tasks."""
+    for connection reuse, salt so a giant host spans many tasks.
+
+    ``n_partitions=None`` (the default) derives the task count from the
+    selected set itself — ceil(|selected| / target_rows_per_task),
+    floored at the session's default parallelism — so a 10× larger
+    politeness budget gets proportionally more fetch tasks without the
+    caller re-tuning a constant.  The count is an aggregation over the
+    pop's already-persisted output, never a second frontier scan."""
+    if n_partitions is None:
+        n = selected.count()
+        n_partitions = max(
+            -(-n // target_rows_per_task),
+            selected.sparkSession.sparkContext.defaultParallelism,
+        )
     return selected.repartition(n_partitions, "host", "partition_salt")

@@ -500,6 +500,8 @@ class IcebergMergeTable:
     Exercised by tests/test_round4_fixes.py::test_iceberg_merge_table
     when SPARK_GRAFT_ICEBERG=1 (skipped cleanly in this sandbox)."""
 
+    _IDENT_RE = None  # compiled lazily; class-level to share
+
     def __init__(
         self,
         spark: SparkSession,
@@ -509,10 +511,25 @@ class IcebergMergeTable:
     ):
         if not iceberg_available(spark):
             raise RuntimeError("Iceberg runtime not on the classpath")
+        import re
+
+        # ident/key are interpolated into SQL text (MERGE INTO has no
+        # parameter binding for table names) — restrict them to plain
+        # dotted identifiers so a caller can't smuggle SQL through them
+        if IcebergMergeTable._IDENT_RE is None:
+            IcebergMergeTable._IDENT_RE = re.compile(
+                r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$"
+            )
+        for label, value in (("ident", ident), ("key", key)):
+            if not IcebergMergeTable._IDENT_RE.match(value):
+                raise ValueError(f"invalid {label!r}: {value!r}")
         self.spark = spark
         self.ident = ident
         self.key = key
         self.n_buckets = n_buckets
+        # per-instance source-view name: a session-global "_ice_delta_src"
+        # let concurrent tables in one session clobber each other's views
+        self._src_view = f"_ice_delta_src_{id(self):x}"
 
     def commit_base(self, df: DataFrame, note: str = "") -> str:
         w = df.writeTo(self.ident).using("iceberg")
@@ -524,13 +541,16 @@ class IcebergMergeTable:
         return str(self._current_snapshot_id())
 
     def commit_delta(self, spark: SparkSession, df: DataFrame, note: str = "") -> str:
-        df.createOrReplaceTempView("_ice_delta_src")
-        spark.sql(
-            f"MERGE INTO {self.ident} t USING _ice_delta_src s "
-            f"ON t.{self.key} = s.{self.key} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        df.createOrReplaceTempView(self._src_view)
+        try:
+            spark.sql(
+                f"MERGE INTO {self.ident} t USING {self._src_view} s "
+                f"ON t.{self.key} = s.{self.key} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(self._src_view)
         return str(self._current_snapshot_id())
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
