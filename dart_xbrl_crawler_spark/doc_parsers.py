@@ -37,6 +37,7 @@ _ENTITY_RE = re.compile(r"entity(\d{8})")
 _REGISTRY: list[tuple[Callable[[bytes], bool], Callable[..., dict | None]]] = []
 
 _LAB_MEMBER_RE = re.compile(r"_lab(-[a-z]{2})?\.xml$", re.IGNORECASE)
+_PRE_MEMBER_RE = re.compile(r"_pre(-[a-z]{2})?\.xml$", re.IGNORECASE)
 
 
 def register_parser(
@@ -136,6 +137,71 @@ def parse_label_linkbase(body: bytes) -> dict[str, dict[str, str]]:
     return out
 
 
+def parse_presentation_linkbase(body: bytes) -> dict[str, tuple[str, float]]:
+    """XBRL 2.1 presentation linkbase (``*_pre.xml``) →
+    ``{child_concept_id: (parent_concept_id, order)}``.
+
+    Walks <presentationLink> extended links; XLink locator labels are
+    scoped PER extended link (two links may reuse the same labels for
+    different concepts), so locs/arcs resolve within their own link.
+    First link wins per child — deterministic under a concept appearing
+    in several roles.  This is the arc structure dart_fss's hierarchy
+    passes consume for the reference (xbrl_processor.py:339-393 and the
+    class1..3 nesting at :971-1089)."""
+    XLINK = "{http://www.w3.org/1999/xlink}"
+    try:
+        root = ElementTree.fromstring(body)
+    except ElementTree.ParseError:
+        return {}
+    out: dict[str, tuple[str, float]] = {}
+    for link in root.iter():
+        if _local(link.tag) != "presentationLink":
+            continue
+        locs: dict[str, str] = {}
+        arcs: list[tuple[str, str, float]] = []
+        for el in link:
+            name = _local(el.tag)
+            if name == "loc":
+                href = el.get(XLINK + "href") or ""
+                lab = el.get(XLINK + "label")
+                if lab and "#" in href:
+                    locs[lab] = href.rsplit("#", 1)[-1]
+            elif name == "presentationArc":
+                f, t = el.get(XLINK + "from"), el.get(XLINK + "to")
+                if f and t:
+                    try:
+                        order = float(el.get("order") or 0.0)
+                    except ValueError:
+                        order = 0.0
+                    arcs.append((f, t, order))
+        for f, t, order in arcs:
+            parent, child = locs.get(f), locs.get(t)
+            if parent and child and child != parent:
+                out.setdefault(child, (parent, order))
+    return out
+
+
+def presentation_ranks(pres: dict[str, tuple[str, float]]) -> dict[str, int]:
+    """Depth-first pre-order rank of every concept in the presentation
+    forest — the statement's display order (order attr sorts siblings,
+    concept id breaks ties).  Iterative: linkbase depth is small but a
+    malformed file must not hit the recursion limit."""
+    children: dict[str, list[tuple[float, str]]] = {}
+    for child, (parent, order) in pres.items():
+        children.setdefault(parent, []).append((order, child))
+    roots = sorted(p for p in children if p not in pres)
+    rank: dict[str, int] = {}
+    stack = [r for r in reversed(roots)]
+    while stack:
+        node = stack.pop()
+        if node in rank:
+            continue  # cycle guard
+        rank[node] = len(rank)
+        for _, child in sorted(children.get(node, []), reverse=True):
+            stack.append(child)
+    return rank
+
+
 def parse_document(html: bytes) -> tuple[str | None, dict | None]:
     """ZIP bytes → (corp_code, wide doc dict | None).
 
@@ -157,13 +223,17 @@ def parse_document(html: bytes) -> tuple[str | None, dict | None]:
         corp_code = m.group(1) if m else None
         body = zf.read(member)
         labels: dict[str, dict[str, str]] = {}
+        pres: dict[str, tuple[str, float]] = {}
         for n in sorted(zf.namelist()):
             if _LAB_MEMBER_RE.search(n):
                 for cid, by_lang in parse_label_linkbase(zf.read(n)).items():
                     dst = labels.setdefault(cid, {})
                     for lang, text in by_lang.items():
                         dst.setdefault(lang, text)
-        aux = {"labels": labels}
+            elif _PRE_MEMBER_RE.search(n):
+                for cid, arc in parse_presentation_linkbase(zf.read(n)).items():
+                    pres.setdefault(cid, arc)
+        aux = {"labels": labels, "presentation": pres}
         for sniff, parse in _REGISTRY:
             if sniff(body):
                 return corp_code, parse(body, aux=aux)
@@ -232,12 +302,49 @@ def _parse_xbrl_xml(body: bytes, aux: dict | None = None) -> dict | None:
 
     Label precedence per concept: the ZIP's own label linkbases
     (aux['labels'], parsed by parse_label_linkbase — what dart_fss
-    resolves for the reference) → built-in table → localname."""
+    resolves for the reference) → built-in table → localname.
+
+    Hierarchy precedence: when the ZIP carries presentation linkbases
+    (aux['presentation'], ``*_pre.xml`` arcs — the structure dart_fss's
+    class passes consume, reference xbrl_processor.py:339-393 +
+    :971-1089), class1..3 are the Korean labels of the concept's
+    presentation path (statement root excluded, concept itself
+    included, deepest levels truncated past class3) and rows sort in
+    depth-first presentation order; otherwise the built-in table's
+    pinned classes and instance fact order apply."""
     try:
         root = ElementTree.fromstring(body)
     except ElementTree.ParseError:
         return None
     zip_labels: dict[str, dict[str, str]] = (aux or {}).get("labels", {})
+    pres: dict[str, tuple[str, float]] = (aux or {}).get("presentation", {})
+
+    def _ko_label(cid: str) -> str:
+        lk = zip_labels.get(cid, {})
+        if "ko" in lk:
+            return lk["ko"]
+        if cid in _CONCEPT_LABELS:
+            return _CONCEPT_LABELS[cid][0]
+        return cid.rsplit("_", 1)[-1]
+
+    def _pres_classes(cid: str) -> tuple[str, str, str] | None:
+        """class1..3 from the presentation path, or None when the
+        concept isn't in the arcs (fall back to the built-in table)."""
+        if cid not in pres:
+            return None
+        chain = [cid]
+        seen_nodes = {cid}
+        while chain[0] in pres:
+            parent = pres[chain[0]][0]
+            if parent in seen_nodes:
+                break  # cycle guard
+            chain.insert(0, parent)
+            seen_nodes.add(parent)
+        if len(chain) > 1:
+            chain = chain[1:]  # drop the statement-root abstract
+        labels = [_ko_label(c) for c in chain[:3]]
+        labels += [""] * (3 - len(labels))
+        return labels[0], labels[1], labels[2]
     contexts: dict[str, tuple[str, str, bool]] = {}  # id → (period, fs, instant)
     facts: list[tuple[str, str, float]] = []  # (concept_id, ctx, value)
     for el in root:
@@ -299,6 +406,11 @@ def _parse_xbrl_xml(body: bytes, aux: dict | None = None) -> dict | None:
                 lk = zip_labels.get(cid, {})
                 ko = lk.get("ko", ko)
                 en = lk.get("en", en)
+                # ZIP-carried presentation arcs win over the built-in
+                # classes for the same reason
+                pc = _pres_classes(cid)
+                if pc is not None:
+                    c1, c2, c3 = pc
                 rows.append(
                     {
                         "concept_id": cid,
@@ -317,6 +429,13 @@ def _parse_xbrl_xml(body: bytes, aux: dict | None = None) -> dict | None:
             if info is None or info[2] != want_instant:
                 continue
             rows[row_idx[cid]]["values"][col_idx[(info[0], info[1])]] = val
+        if rows and pres:
+            # statement display order = depth-first presentation order
+            # (the reference's in-parse order_no follows the dart_fss
+            # statement structure); concepts outside the arcs keep
+            # their fact order after the ranked ones (stable sort)
+            ranks = presentation_ranks(pres)
+            rows.sort(key=lambda r: ranks.get(r["concept_id"], len(ranks)))
         if rows:
             stmts[rt] = {
                 "columns": [[p, [fs]] for p, fs in cols],
