@@ -1,0 +1,743 @@
+"""Round-5 fixes: derived fetch-stage partition count, lineage-safe
+expire/recrawl (cache loss between commit and retire_seen), cuckoo
+tombstone resurrection under filter false positives, and the metrics
+chain staying bounded over a 100-round crawl."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+RUN_TS = "2026-01-16 00:00:00"
+LATER_TS = "2026-02-01 00:00:00"
+
+
+# ------------------------------------- derived fetch partition count
+def test_fetch_partition_count_scales_with_selected(spark):
+    """A 10× larger selected set gets proportionally more fetch
+    partitions without the caller passing a constant (n_partitions=None
+    derives from the count, floored at defaultParallelism)."""
+    from dart_xbrl_crawler_spark.operators.politeness import fetch_partitioning
+
+    def selected(n):
+        return spark.range(n).select(
+            F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias("host"),
+            (F.col("id") % 8).cast("int").alias("partition_salt"),
+            F.col("id").alias("url_hash"),
+        )
+
+    small = fetch_partitioning(selected(1_000), target_rows_per_task=100)
+    big = fetch_partitioning(selected(10_000), target_rows_per_task=100)
+    n_small = small.rdd.getNumPartitions()
+    n_big = big.rdd.getNumPartitions()
+    floor = spark.sparkContext.defaultParallelism
+    assert n_small == max(10, floor)
+    assert n_big == 100  # 10_000 / 100 — scaled, not a magic constant
+    # an explicit caller override still wins
+    forced = fetch_partitioning(selected(10_000), n_partitions=7)
+    assert forced.rdd.getNumPartitions() == 7
+
+
+# ----------------------------- expire() survives cache loss mid-flight
+def _bootstrap_cuckoo_store(spark, path, urls):
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    store = FrontierStore(str(path), n_bloom_shards=4, seen_filter="cuckoo")
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": urls, "priority": [0.0] * len(urls)})
+    )
+    store.bootstrap(seeds, RUN_TS)
+    return store
+
+
+def _mark_fetched(spark, store, ts):
+    """Flip every queued row to fetched via the normal delta path (the
+    round outcome, minus the fetch machinery the test doesn't need)."""
+    frontier = store.table.read(spark)
+    changed = (
+        frontier.filter(F.col("state") == "queued")
+        .withColumn("state", F.lit("fetched"))
+        .withColumn("fetch_ts", F.to_timestamp(F.lit(ts)))
+    )
+    store.table.commit_delta(spark, changed, note="test fetch")
+    store.metrics.commit(
+        changed.groupBy(
+            F.lit(0).alias("round_id"),
+            F.spark_partition_id().alias("partition_id"),
+            "state",
+        )
+        .count()
+        .withColumnRenamed("count", "n"),
+        note="test fetch",
+    )
+
+
+def test_expire_retires_seen_even_after_cache_loss(spark, tmp_path):
+    """expire() consumes its `changed` frame AFTER commit_delta flips
+    those rows to 'expired' — if the frame were a lazy persist over the
+    pre-commit frontier, losing the cache there would recompute an
+    EMPTY selection (post-commit no row matches state='fetched'), so
+    retire_seen would delete nothing and the url could never resurrect.
+    Simulate the loss at the worst moment: clear every SQL cache right
+    after the commit, then check the url still resurrects."""
+    url = "https://loss.example/a"
+    store = _bootstrap_cuckoo_store(spark, tmp_path / "f", [url])
+    _mark_fetched(spark, store, RUN_TS)
+
+    orig = store.table.commit_delta
+
+    def commit_then_lose_cache(spark_, df, note=""):
+        snap = orig(spark_, df, note=note)
+        spark.catalog.clearCache()
+        return snap
+
+    store.table.commit_delta = commit_then_lose_cache
+    try:
+        n = store.expire(spark, LATER_TS)
+    finally:
+        store.table.commit_delta = orig
+    assert n == 1
+    assert store.state_counts(spark).get("expired") == 1
+
+    # rediscovery must insert a fresh queued row (resurrection)
+    batch = spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    _, n_fresh, n_dup = store.insert(spark, batch, LATER_TS)
+    assert (n_fresh, n_dup) == (1, 0)
+    assert store.state_counts(spark).get("queued") == 1
+
+
+def test_recrawl_counts_survive_cache_loss(spark, tmp_path):
+    """recrawl()'s count/metrics read `changed` after the commit flips
+    the rows to 'queued' — a recompute over the post-commit frontier
+    would report 0 re-queued.  Same cache-loss simulation."""
+    urls = [f"https://re.example/{i}" for i in range(5)]
+    store = _bootstrap_cuckoo_store(spark, tmp_path / "f", urls)
+    _mark_fetched(spark, store, RUN_TS)
+
+    orig = store.table.commit_delta
+
+    def commit_then_lose_cache(spark_, df, note=""):
+        snap = orig(spark_, df, note=note)
+        spark.catalog.clearCache()
+        return snap
+
+    store.table.commit_delta = commit_then_lose_cache
+    try:
+        n = store.recrawl(spark, LATER_TS)
+    finally:
+        store.table.commit_delta = orig
+    assert n == 5
+    assert store.state_counts(spark).get("queued") == 5
+
+
+# -------------------- cuckoo tombstones vs filter false positives
+def test_cuckoo_tombstone_fpp_cannot_permadedup(spark, tmp_path):
+    """A rediscovered expired url whose hash still hits the filter (a
+    ~1.2e-4 false positive at 16-bit tags — simulated here by
+    re-adding the hash) must NOT exact-confirm against its own expired
+    tombstone row: expire()'s contract is that later rediscovery
+    unconditionally resurrects."""
+    url = "https://fpp.example/a"
+    store = _bootstrap_cuckoo_store(spark, tmp_path / "f", [url])
+    _mark_fetched(spark, store, RUN_TS)
+    assert store.expire(spark, LATER_TS) == 1
+
+    # simulate the false positive: put the retired hash back into the
+    # filter while the frontier row stays an expired tombstone
+    store._commit_bloom_batch(
+        spark, store.table.read(spark).select("url_hash"), "fpp-sim"
+    )
+
+    batch = spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    _, n_fresh, n_dup = store.insert(spark, batch, LATER_TS)
+    assert (n_fresh, n_dup) == (1, 0), "tombstone exact-confirmed a live url"
+    assert store.state_counts(spark).get("queued") == 1
+
+
+# ------------------------- metrics chain bounded over a long crawl
+def test_metrics_chain_bounded_over_100_rounds(spark, tmp_path):
+    """100 rounds of metrics/host-metrics commits with compaction keep
+    BOTH chains ≤ threshold+1 snapshots at every step, and the folded
+    running sums stay exactly equal to the arithmetic totals (fold
+    marker rows round_id=-2 must aggregate, not duplicate)."""
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+
+    store = FrontierStore(
+        str(tmp_path / "f"), n_bloom_shards=4, metrics_compact_every=8
+    )
+    total_fetched = 0
+    host_fetched = {"a.example": 0, "b.example": 0}
+    for rid in range(100):
+        n = 1 + (rid % 3)
+        total_fetched += n
+        host = "a.example" if rid % 2 == 0 else "b.example"
+        host_fetched[host] += n
+        store.metrics.commit(
+            spark.createDataFrame(
+                # a queued (insert-side) row balancing each fetched row,
+                # as real rounds produce — lineage_counts' queue math
+                # needs the insert counters the crawl always commits
+                [(rid, 0, "queued", n), (rid, 0, "fetched", n)],
+                schema="round_id int, partition_id int, state string, n long",
+            ),
+            note=f"round={rid}",
+        )
+        store.host_metrics.commit(
+            spark.createDataFrame(
+                [(rid, host, "fetched", n)],
+                schema="round_id int, host string, state string, n long",
+            ),
+            note=f"round={rid}",
+        )
+        store._maybe_compact_metrics(spark)
+        assert len(store.metrics.snapshots()) <= 9, f"chain grew at round {rid}"
+        assert len(store.host_metrics.snapshots()) <= 9
+
+    assert store.lineage_counts(spark) == {"fetched": total_fetched}
+    hs = {
+        r["host"]: r["n_fetched"] for r in store.host_stats(spark).collect()
+    }
+    assert hs == host_fetched
+
+
+# ------------------------ presentation linkbase → class1..3 hierarchy
+_PRE_INSTANCE = """<?xml version="1.0" encoding="utf-8"?>
+<xbrl xmlns="http://www.xbrl.org/2003/instance"
+      xmlns:ifrs-full="http://xbrl.ifrs.org/taxonomy/2021-03-24/ifrs-full">
+  <context id="CI"><entity><identifier scheme="s">00000042</identifier></entity>
+    <period><instant>2025-06-30</instant></period></context>
+  <ifrs-full:Assets contextRef="CI" decimals="0">3000000</ifrs-full:Assets>
+  <ifrs-full:NoncurrentAssets contextRef="CI" decimals="0">2000000</ifrs-full:NoncurrentAssets>
+  <ifrs-full:CurrentAssets contextRef="CI" decimals="0">1000000</ifrs-full:CurrentAssets>
+</xbrl>"""
+
+_PRE_LAB_KO = """<?xml version="1.0" encoding="utf-8"?>
+<linkbase xmlns="http://www.xbrl.org/2003/linkbase"
+          xmlns:xlink="http://www.w3.org/1999/xlink">
+ <labelLink xlink:type="extended" xlink:role="http://www.xbrl.org/2003/role/link">
+  <loc xlink:type="locator" xlink:href="tax.xsd#ifrs-full_AssetsAbstract"
+       xlink:label="loc_aa"/>
+  <label xlink:type="resource" xlink:label="lab_aa"
+         xlink:role="http://www.xbrl.org/2003/role/label"
+         xml:lang="ko">자산 [개요]</label>
+  <labelArc xlink:type="arc"
+            xlink:arcrole="http://www.xbrl.org/2003/arcrole/concept-label"
+            xlink:from="loc_aa" xlink:to="lab_aa"/>
+  <loc xlink:type="locator" xlink:href="tax.xsd#ifrs-full_NoncurrentAssets"
+       xlink:label="loc_nca"/>
+  <label xlink:type="resource" xlink:label="lab_nca"
+         xlink:role="http://www.xbrl.org/2003/role/label"
+         xml:lang="ko">비유동자산</label>
+  <labelArc xlink:type="arc"
+            xlink:arcrole="http://www.xbrl.org/2003/arcrole/concept-label"
+            xlink:from="loc_nca" xlink:to="lab_nca"/>
+ </labelLink>
+</linkbase>"""
+
+_PRE_XML = """<?xml version="1.0" encoding="utf-8"?>
+<linkbase xmlns="http://www.xbrl.org/2003/linkbase"
+          xmlns:xlink="http://www.w3.org/1999/xlink">
+ <presentationLink xlink:type="extended"
+                   xlink:role="http://dart.fss.or.kr/role/bs">
+  <loc xlink:type="locator" xlink:label="loc_root"
+       xlink:href="tax.xsd#ifrs-full_StatementOfFinancialPositionAbstract"/>
+  <loc xlink:type="locator" xlink:label="loc_aa"
+       xlink:href="tax.xsd#ifrs-full_AssetsAbstract"/>
+  <loc xlink:type="locator" xlink:label="loc_ca"
+       xlink:href="tax.xsd#ifrs-full_CurrentAssets"/>
+  <loc xlink:type="locator" xlink:label="loc_nca"
+       xlink:href="tax.xsd#ifrs-full_NoncurrentAssets"/>
+  <loc xlink:type="locator" xlink:label="loc_a"
+       xlink:href="tax.xsd#ifrs-full_Assets"/>
+  <presentationArc xlink:type="arc"
+      xlink:arcrole="http://www.xbrl.org/2003/arcrole/parent-child"
+      xlink:from="loc_root" xlink:to="loc_aa" order="1"/>
+  <presentationArc xlink:type="arc"
+      xlink:arcrole="http://www.xbrl.org/2003/arcrole/parent-child"
+      xlink:from="loc_aa" xlink:to="loc_ca" order="1"/>
+  <presentationArc xlink:type="arc"
+      xlink:arcrole="http://www.xbrl.org/2003/arcrole/parent-child"
+      xlink:from="loc_aa" xlink:to="loc_nca" order="2"/>
+  <presentationArc xlink:type="arc"
+      xlink:arcrole="http://www.xbrl.org/2003/arcrole/parent-child"
+      xlink:from="loc_aa" xlink:to="loc_a" order="3"/>
+ </presentationLink>
+</linkbase>"""
+
+
+def _pre_zip() -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, body in (
+            ("entity00000042_2025-06-30.xbrl", _PRE_INSTANCE),
+            ("entity00000042_2025-06-30_lab-ko.xml", _PRE_LAB_KO),
+            ("entity00000042_2025-06-30_pre.xml", _PRE_XML),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+            zf.writestr(info, body)
+    return buf.getvalue()
+
+
+def test_parse_presentation_linkbase_unit():
+    from dart_xbrl_crawler_spark import doc_parsers
+
+    pres = doc_parsers.parse_presentation_linkbase(_PRE_XML.encode())
+    assert pres == {
+        "ifrs-full_AssetsAbstract": (
+            "ifrs-full_StatementOfFinancialPositionAbstract", 1.0,
+        ),
+        "ifrs-full_CurrentAssets": ("ifrs-full_AssetsAbstract", 1.0),
+        "ifrs-full_NoncurrentAssets": ("ifrs-full_AssetsAbstract", 2.0),
+        "ifrs-full_Assets": ("ifrs-full_AssetsAbstract", 3.0),
+    }
+    ranks = doc_parsers.presentation_ranks(pres)
+    assert (
+        ranks["ifrs-full_CurrentAssets"]
+        < ranks["ifrs-full_NoncurrentAssets"]
+        < ranks["ifrs-full_Assets"]
+    )
+
+
+def test_zip_presentation_linkbase_byte_identity(spark):
+    """A ZIP carrying a presentation linkbase derives class1..3 from
+    the arcs (the dart_fss hierarchy the reference consumes,
+    xbrl_processor.py:339-393 + :971-1089) and orders rows in
+    depth-first presentation order — byte-identically through BOTH the
+    row-wise oracle and the vectorized kernel.  Instance fact order is
+    deliberately REVERSED vs presentation order."""
+    from dart_xbrl_crawler_spark import doc_parsers, oracle
+    from dart_xbrl_crawler_spark.operators import extract as X
+
+    _, doc = doc_parsers.parse_document(_pre_zip())
+    rows = doc["statements"]["BS"]["rows"]
+    assert [r["concept_id"] for r in rows] == [
+        "ifrs-full_CurrentAssets",
+        "ifrs-full_NoncurrentAssets",
+        "ifrs-full_Assets",
+    ]
+    by_cid = {r["concept_id"]: r for r in rows}
+    # classes = ko-label path under the statement root (abstract from
+    # the lab linkbase, known concepts from the built-in table,
+    # NoncurrentAssets from its own linkbase label)
+    assert by_cid["ifrs-full_CurrentAssets"]["class1"] == "자산 [개요]"
+    assert by_cid["ifrs-full_CurrentAssets"]["class2"] == "유동자산"
+    assert by_cid["ifrs-full_NoncurrentAssets"]["class1"] == "자산 [개요]"
+    assert by_cid["ifrs-full_NoncurrentAssets"]["class2"] == "비유동자산"
+    assert by_cid["ifrs-full_Assets"]["class1"] == "자산 [개요]"
+    assert by_cid["ifrs-full_Assets"]["class2"] == "자산총계"
+    assert by_cid["ifrs-full_Assets"]["class3"] == ""
+
+    url = "https://dart.fss.or.kr/api/fnlttXbrl.xml?rcept_no=pre1"
+    html = _pre_zip()
+    report_nm, rcept_dt = "반기보고서 (2025.06)", "20250615"
+    golden = oracle.extract_text_rowwise(url, html, report_nm, rcept_dt, RUN_TS)
+    assert "비유동자산" in golden  # linkbase label reached the output
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"url": url, "html": html, "report_nm": report_nm, "rcept_dt": rcept_dt}]
+        ),
+        schema="url string, html binary, report_nm string, rcept_dt string",
+    )
+    out = X.extract_text(df, RUN_TS).collect()
+    assert len(out) == 1 and out[0]["parse_ok"]
+    assert out[0]["text"] == golden
+
+
+# ------------------------------------------- real baseline JPEG decode
+def _jpeg_encode(px, subsample=False, restart_interval=0):
+    """Minimal test-side baseline JPEG encoder (ITU-T T.81), written
+    from the public spec independently of the decoder: all-ones quant
+    tables (max fidelity), uniform-length canonical huffman tables
+    declared via DHT (DC: 12 symbols at 4 bits; AC: 192 symbols at 8
+    bits — exercises the decoder's canonical table build, not a
+    hardcoded Annex K), optional 4:2:0 subsampling and restart
+    markers.  px: (H, W) grayscale or (H, W, 3) RGB uint8."""
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import _DCT_A, _ZIGZAG
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+
+    # --- canonical tables the encoder will both DECLARE and USE
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_counts = [0] * 7 + [192] + [0] * 8
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(12)]
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    elif subsample:
+        sof += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    else:
+        sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    seg(0xC0, sof)
+    for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
+        seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    # --- planes (YCbCr BT.601 for color, with optional 2x2 chroma mean)
+    if gray:
+        planes = [(px.astype(np.float64), 1, 1)]
+    else:
+        x = px.astype(np.float64)
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes = [(y, 2, 2), (cb, 1, 1), (cr, 1, 1)]
+        else:
+            planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    padded = []
+    for p, hs, vs in planes:
+        ph, pw = p.shape
+        th = -(-h // (8 * vmax)) * vs * 8
+        tw = -(-w // (8 * hmax)) * hs * 8
+        q = np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+        padded.append((q, hs, vs))
+
+    # --- bit writer with FF byte stuffing
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def put_val(v, s):
+        if s:
+            if v < 0:
+                v += (1 << s) - 1
+            put(v, s)
+
+    def encode_block(block, pred):
+        coeffs = _DCT_A @ (block - 128.0) @ _DCT_A.T
+        zz = np.rint(coeffs.flatten()[_ZIGZAG]).astype(int)
+        diff = int(zz[0]) - pred
+        s = cat(diff)
+        put(*dc_code[s])
+        put_val(diff, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*ac_code[0xF0])
+                run -= 16
+            s = cat(int(zz[k]))
+            put(*ac_code[(run << 4) | s])
+            put_val(int(zz[k]), s)
+            run = 0
+        if last_nz < 63:
+            put(*ac_code[0x00])
+        return int(zz[0])
+
+    def flush_to(buf):
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+        bits.clear()
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    preds = [0] * len(padded)
+    entropy = bytearray()
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            idx = my * mcus_x + mx
+            if restart_interval and idx and idx % restart_interval == 0:
+                flush_to(entropy)
+                entropy.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                preds = [0] * len(padded)
+            for ci, (p, hs, vs) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        preds[ci] = encode_block(
+                            p[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                        )
+    flush_to(entropy)
+    out.extend(entropy)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def test_decode_jpeg_gray_roundtrip():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(13, 20), dtype=np.uint8)
+    got = decode_jpeg(_jpeg_encode(px))
+    assert got is not None and got.shape == (13, 20, 1)
+    err = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    # all-ones quant: only DCT-coefficient rounding survives
+    assert err.max() <= 4 and err.mean() <= 1.5
+
+
+def test_decode_jpeg_color_444_roundtrip():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    got = decode_jpeg(_jpeg_encode(px))
+    assert got is not None and got.shape == (16, 24, 3)
+    err = np.abs(got.astype(int) - px.astype(int))
+    # colorspace round-trip adds ~2x amplification on top of rounding
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_decode_jpeg_420_subsampling_matches_numpy_model():
+    """4:2:0: decoder output must match the numpy model of the SAME
+    lossy path (chroma 2x2 mean-downsample + nearest upsample) — not
+    the original, which subsampling cannot reproduce."""
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 32, 3), dtype=np.uint8)
+    got = decode_jpeg(_jpeg_encode(px, subsample=True))
+    assert got is not None and got.shape == (16, 32, 3)
+
+    x = px.astype(np.float64)
+    r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = np.repeat(np.repeat(cb.reshape(8, 2, 16, 2).mean(axis=(1, 3)), 2, 0), 2, 1)
+    cr = np.repeat(np.repeat(cr.reshape(8, 2, 16, 2).mean(axis=(1, 3)), 2, 0), 2, 1)
+    exp = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    exp = np.clip(np.rint(exp), 0, 255)
+    err = np.abs(got.astype(float) - exp)
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(8, 64), dtype=np.uint8)  # 8 MCUs
+    got = decode_jpeg(_jpeg_encode(px, restart_interval=2))
+    assert got is not None and got.shape == (8, 64, 1)
+    err = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    assert err.max() <= 4
+
+
+def test_decode_jpeg_rejects_out_of_envelope():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_jpeg
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    full = _jpeg_encode(px)
+    assert decode_jpeg(full[: len(full) // 2]) is None  # truncated
+    assert decode_jpeg(b"not a jpeg") is None
+    progressive = bytearray(full)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2  # SOF0 → SOF2
+    assert decode_jpeg(bytes(progressive)) is None
+
+
+def test_image_stats_decodes_planted_jpeg(spark):
+    """Planted JPEG flows through the JVM-side media filter into the
+    SAME mapInPandas stats path as PNG — width/height/channels exact,
+    mean/std within codec rounding of the source pixels."""
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import extract_image_stats
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = _jpeg_encode(px)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://m.example/a.jpg", "https://m.example/page.html"],
+                "html": [payload, b"<html>not an image</html>"],
+            }
+        ),
+        schema="url string, html binary",
+    )
+    got = {r["url"]: r for r in extract_image_stats(df).collect()}
+    assert list(got) == ["https://m.example/a.jpg"]
+    r = got["https://m.example/a.jpg"]
+    assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 3)
+    assert abs(r["mean"] - px.mean()) <= 2.0
+    assert abs(r["std"] - px.std()) <= 2.0
+
+
+# ----------------------------------------- real GIF first-frame decode
+def _gif_lzw_encode(indices, min_code):
+    """Real LZW encoder (dictionary growth + dynamic code width +
+    12-bit cap with CLEAR), written from the GIF89a spec independently
+    of the decoder."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def put(code, width):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt, width = eoi + 1, min_code + 1
+    put(clear, width)
+    prev = b""
+    for i in indices:
+        cur = prev + bytes([int(i)])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        if nxt < 4096:
+            table[cur] = nxt
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            nxt += 1
+        else:  # dictionary full: reset
+            put(clear, width)
+            table = {bytes([j]): j for j in range(clear)}
+            nxt, width = eoi + 1, min_code + 1
+        prev = bytes([int(i)])
+    if prev:
+        put(table[prev], width)
+    put(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(idx, palette, interlace=False, min_code=None):
+    """Minimal test-side GIF89a encoder: global color table, one image
+    descriptor, real LZW sub-blocks, optional interlace row order."""
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    ctbits = max(1, (n - 1).bit_length())
+    if min_code is None:
+        min_code = max(2, ctbits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (ctbits - 1), 0, 0])
+    pal = np.zeros((2**ctbits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    # a graphic-control extension the decoder must skip
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    data = _gif_lzw_encode(rows.flatten(), min_code)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip_exact():
+    """GIF is lossless given a palette: decode must reproduce the
+    palette-mapped pixels EXACTLY, including dictionary growth past the
+    initial code width (image big enough to grow the LZW table)."""
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_gif
+
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(24, 37), dtype=np.uint8)
+    got = decode_gif(_gif_encode(idx, pal))
+    assert got is not None and got.shape == (24, 37, 3)
+    assert (got == pal[idx]).all()
+
+
+def test_decode_gif_interlaced():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_gif
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(17, 9), dtype=np.uint8)
+    got = decode_gif(_gif_encode(idx, pal, interlace=True))
+    assert got is not None and (got == pal[idx]).all()
+
+
+def test_decode_gif_rejects_malformed():
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.multimodal import decode_gif
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    full = _gif_encode(idx, pal)
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(b"not a gif") is None
+    assert decode_gif(full[:20]) is None  # truncated before image data
