@@ -85,7 +85,10 @@ HEADLINE = [
 ]
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
+# 550 fits hi+lo+hi+hi at full quantum (~100 s per hi leg, ~200 s lo);
+# a driver kill past our own budget is harmless — the best-so-far JSON
+# line is re-emitted after every completed leg
+_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "550"))
 _LAST: dict = {}
 
 
@@ -224,8 +227,17 @@ spark.stop()
 
 
 def _quick_alloc_speedup(lo: int, hi: int) -> float:
-    """Fast host-health probe: alloc-burn aggregate speedup lo→hi."""
-    return _burn_agg(_burn_alloc, hi) / _burn_agg(_burn_alloc, lo)
+    """Fast host-health probe: alloc-burn aggregate speedup lo→hi,
+    best-of-2 per side.  A single-sample probe can read ABOVE 4.0 —
+    impossible for a 4× core ratio — when the lo burn itself lands in
+    a contended 2 s window; that false-healthy reading schedules a
+    measurement leg into a bad window (observed: probes 4.2-4.35
+    bracketing legs that scored 0.55).  Contention only ever SLOWS a
+    burn, so max-of-2 per side is the cleaner estimate of each point
+    and their ratio can no longer be inflated by a slow lo sample."""
+    hi_w = max(_burn_agg(_burn_alloc, hi), _burn_agg(_burn_alloc, hi))
+    lo_w = max(_burn_agg(_burn_alloc, lo), _burn_agg(_burn_alloc, lo))
+    return hi_w / lo_w
 
 
 def _wait_quiet(lo: int, hi: int, reserve: float = 200.0) -> float:
