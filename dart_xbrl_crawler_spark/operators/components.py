@@ -88,3 +88,68 @@ def canonical_docs(
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set — the classic
+    link-authority score a web-scale crawler feeds its frontier
+    priority (the reference's flat API frontier has no analog; this
+    engine's ``insert(..., priority=...)`` accepts it directly).
+
+    ``edges``: DataFrame with ``src``/``dst`` columns (any orderable
+    type); duplicate edges are collapsed.  Returns (node, pr) for every
+    node appearing as a source or destination.
+
+    Semantics (deterministic, oracle-portable): uniform init 1/N, then
+    ``pr'(v) = (1-d)/N + d * Σ_{(u,v)} pr(u)/out_deg(u)`` for exactly
+    ``n_iter`` rounds.  Dangling nodes (no out-edges) contribute
+    nothing — their mass leaks, as in the common simplified formulation
+    — so the result is expressible as unrolled SQL for the DuckDB
+    oracle (q54).
+
+    Scale shape: the degree-annotated edge list is computed once and
+    localCheckpoint-ed (read O(n_iter) times); each round is ONE
+    shuffle of |edges| contributions (map-side partial sum) plus a
+    left join back to the node set — the same cost class per round as
+    one LSH band join.  Lineage is truncated per round exactly like
+    connected_components above, so the plan stays O(1) deep."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        mass = (
+            e_deg.join(pr, e_deg["src"] == pr["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("out_deg")).alias("w"),
+            )
+            .groupBy("node")
+            .agg(F.sum("w").alias("mass"))
+        )
+        pr = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

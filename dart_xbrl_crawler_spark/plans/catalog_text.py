@@ -1375,3 +1375,53 @@ def q53(spark, sf):
         )
         .orderBy("link")
     )
+
+
+# =====================================================================
+# PageRank frontier prioritization — iterative link-authority scoring
+# (operators/components.pagerank; fixed 5 iterations, damping 0.85,
+# leaked dangling mass — exactly the unrolled SQL below, so the oracle
+# is exact up to the final ROUND(,4))
+# =====================================================================
+_PR_EDGES = """
+    SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 97 AS dst
+    FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey % 97 <> o_orderkey % 97
+"""
+_PR_ITER = """
+    it{k} AS (
+      SELECT nodes.node,
+             (0.15 / (SELECT n FROM nn))
+             + 0.85 * COALESCE(m.mass, 0) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / d.out_deg) AS mass
+        FROM edges e
+        JOIN it{prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) m USING (node))
+"""
+
+
+@query(
+    "q54_pagerank",
+    "WITH edges AS ({edges}),\n".format(edges=_PR_EDGES)
+    + """
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    it0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+"""
+    + ",\n".join(_PR_ITER.format(k=k, prev=k - 1) for k in range(1, 6))
+    + """
+    SELECT node, ROUND(pr, 4) AS pr FROM it5 ORDER BY node
+    """,
+)
+def q54(spark, sf):
+    from ..operators.components import pagerank
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    edges = o.select(
+        (F.col("o_custkey") % 97).alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, n_iter=5, damping=0.85)
+    return pr.select("node", F.round("pr", 4).alias("pr")).orderBy("node")

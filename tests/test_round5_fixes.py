@@ -741,3 +741,48 @@ def test_decode_gif_rejects_malformed():
     assert decode_gif(b"GIF89a") is None
     assert decode_gif(b"not a gif") is None
     assert decode_gif(full[:20]) is None  # truncated before image data
+
+
+# --------------------------------------------- PageRank (q54 operator)
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() equals the dense numpy computation of the same
+    formula (uniform init, damping 0.85, leaked dangling mass) on a
+    small graph with a dangling node and an unreferenced source."""
+    import numpy as np
+
+    from dart_xbrl_crawler_spark.operators.components import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 3: source-only node
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=5).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    pr = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        mass = {u: 0.0 for u in nodes}
+        for s, d in edges:
+            mass[d] += pr[s] / deg[s]
+        pr = {u: 0.15 / n + 0.85 * mass[u] for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - pr[u]) < 1e-12
+    # node 3 has no in-edges: it holds only the base (1-d)/n mass
+    assert got[3] == min(got.values())
+    assert abs(got[3] - 0.15 / n) < 1e-12
+
+
+def test_pagerank_empty_and_duplicate_edges(spark):
+    from dart_xbrl_crawler_spark.operators.components import pagerank
+
+    empty = spark.createDataFrame([], schema="src long, dst long")
+    assert pagerank(empty).count() == 0
+    # duplicate edges collapse: same result as the deduped graph
+    dup = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0)], schema="src long, dst long"
+    )
+    ded = spark.createDataFrame([(0, 1), (1, 0)], schema="src long, dst long")
+    a = {r["node"]: r["pr"] for r in pagerank(dup, n_iter=3).collect()}
+    b = {r["node"]: r["pr"] for r in pagerank(ded, n_iter=3).collect()}
+    assert a == b
