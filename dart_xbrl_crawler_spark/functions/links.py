@@ -159,3 +159,70 @@ def sitemap_urls_from_robots(robots_txt: DataFrame) -> DataFrame:
     return robots_txt.select(
         "host", F.explode(F.array_distinct(urls)).alias("sitemap_url")
     )
+
+
+# Whole <a> elements with flat (non-nested) inner text — enough to
+# carry anchor text into a link-text index.  Nested markup inside the
+# anchor falls back to href-only extraction via extract_links.
+_ANCHOR_RE = r"(?is)(<a\s[^>]*>[^<]*</a>)"
+
+
+def extract_anchor_texts(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html, …) → (src_url, link, anchor): resolved absolute
+    link + trimmed anchor text per <a> element.  Pure Catalyst (no
+    UDF): one regexp_extract_all pass pulls whole anchor elements,
+    per-element transforms pull the href and inner text, resolution
+    reuses resolve_href.
+
+    This is the anchor-text half of a link-text index (the signal
+    web-search and LLM pretraining pipelines aggregate per TARGET url:
+    what the web calls a page).  Downstream: groupBy(link) — an
+    equality-keyed shuffle, never a cross join."""
+    from .urls import with_url_canon
+
+    keep = [c for c in ("url", "url_canon", "host") if c in pages.columns]
+    src = pages.select(*keep, html_col)
+    if "url_canon" not in src.columns:
+        src = with_url_canon(src)
+    html_text = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.regexp_extract(F.col("url_canon"), r"^([a-z][a-z0-9+.-]*):", 1)
+    host = F.col("host")
+    path = F.coalesce(
+        F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/")
+    )
+    base_dir = F.regexp_extract(path, r"^(.*/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+
+    elems = F.regexp_extract_all(html_text, F.lit(_ANCHOR_RE), F.lit(1))
+    pairs = F.filter(
+        F.transform(
+            elems,
+            lambda e: F.struct(
+                resolve_href(
+                    F.coalesce(
+                        *[
+                            F.nullif(
+                                F.regexp_extract(e, p, 1), F.lit("")
+                            )
+                            for p in _HREF_RES
+                        ]
+                    ),
+                    scheme,
+                    host,
+                    base_dir,
+                ).alias("link"),
+                F.trim(F.regexp_extract(e, r"(?s)>([^<]*)<", 1)).alias(
+                    "anchor"
+                ),
+            ),
+        ),
+        lambda s: s["link"].isNotNull(),
+    )
+    return (
+        src.select(F.col("url").alias("src_url"), pairs.alias("_p"))
+        .select("src_url", F.explode("_p").alias("p"))
+        .select("src_url", F.col("p.link").alias("link"),
+                F.col("p.anchor").alias("anchor"))
+    )

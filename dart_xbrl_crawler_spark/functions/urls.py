@@ -155,3 +155,32 @@ def with_url_canon(df: DataFrame, url_col: str = "url") -> DataFrame:
         .drop("_c")
         .withColumn("url_hash", F.xxhash64("url_canon"))
     )
+
+
+def surt_key(url_canon: F.Column, host: F.Column) -> F.Column:
+    """Sort-friendly URI Reordering Transform (SURT) key, pure
+    Catalyst: ``com,example)/path?a=1&b=2``.
+
+    The canonical key web archives (Common Crawl CDX, OpenWayback)
+    index by — reversed host labels group every subdomain of a
+    registrable domain into one contiguous key range, so a sort by
+    surt_key co-locates a domain's pages in the same partition range.
+    Rules (simplified SURT, documented contract): lowercase host, one
+    leading ``www.`` label stripped, host labels reversed and
+    comma-joined, ``)`` separator, path appended verbatim, query
+    parameters sorted lexicographically.  No UDF — at 100 TB this is
+    a codegen expression feeding a range partitioner."""
+    h = F.regexp_replace(F.lower(host), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(h, r"\.")), ",")
+    path = F.coalesce(F.parse_url(url_canon, F.lit("PATH")), F.lit("/"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(url_canon, F.lit("QUERY"))
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(
+            query.isNotNull() & (query != ""), F.concat(F.lit("?"), qsorted)
+        ).otherwise(F.lit("")),
+    )

@@ -9,12 +9,17 @@ pixel decoder (decode_png — stdlib zlib + per-row unfilter, filters
 DCT decoder (decode_jpeg — T.81 marker parse, canonical huffman,
 dequantize + numpy IDCT, 4:2:0/4:4:4, restart markers); image/gif has
 a REAL first-frame decoder (decode_gif — LZW with dynamic code width,
-global/local color tables, interlace); video decode stays a
-deterministic stub / NotImplementedError gate (no codec libraries in
-this container).  Everything around the codecs (mapInPandas
-signatures, header metadata from magic bytes, batch sizing,
-partition-by-media-type layout) is real and tested, so swapping in a
-video codec is a one-function change.
+global/local color tables, interlace); video has a REAL MJPEG-in-AVI
+frame decoder (parse_avi + decode_avi_frames — RIFF chunk walk,
+'##dc'/'##db' movi frames fed through decode_jpeg) and REAL MP4
+container metadata (parse_mp4 — ISO-BMFF box walk: mvhd duration,
+tkhd track dimensions); only non-MJPEG video BITSTREAM decode (H.264
+etc.) remains out of scope — no entropy-codec implementation here,
+and `extract_video_stats` reports those rows with container metadata
+plus null frame stats (the error path is data, not an exception).
+Everything around the codecs (mapInPandas signatures, header metadata
+from magic bytes, batch sizing, partition-by-media-type layout) is
+real and tested.
 """
 
 from __future__ import annotations
@@ -62,6 +67,13 @@ def sniff_media(df: DataFrame, binary_col: str = "html") -> DataFrame:
     mt = F.lit(None).cast("string")
     for magic, typ in _MAGIC.items():
         mt = F.when(prefix.startswith(magic.hex().upper()), typ).otherwise(mt)
+    # RIFF is a container family: bytes 9-12 discriminate WAVE vs AVI
+    riff_kind = F.hex(F.expr(f"substring({binary_col}, 9, 4)"))
+    mt = F.when(
+        prefix.startswith(b"RIFF".hex().upper())
+        & riff_kind.startswith(b"AVI ".hex().upper()),
+        "video/x-msvideo",
+    ).otherwise(mt)
     return df.withColumn("media_type", mt).withColumn(
         "n_bytes", F.octet_length(F.col(binary_col)).cast("long")
     )
@@ -888,3 +900,232 @@ def extract_features(df: DataFrame, binary_col: str = "html") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=FEATURE_OUT)
+
+
+# =====================================================================
+# video: REAL MJPEG-in-AVI frame decode + MP4 container metadata.
+#
+# Reference analog: the reference pipeline has no video path at all
+# (it is a filings crawler); a Common-Crawl-style training-data
+# pipeline does, so these are additive operators.  AVI is a RIFF
+# container (chunk walk identical in spirit to the WAV fmt walk
+# above); an MJPEG video stream ('MJPG' fccHandler) stores each frame
+# as a complete baseline JPEG in '##dc'/'##db' movi chunks, which
+# decode_jpeg above handles.  MP4 (ISO/IEC 14496-12) is a box tree;
+# we surface mvhd duration and tkhd track dimensions — bitstream
+# decode of H.264 et al. is explicitly out of scope (no entropy
+# codec), reported as null frame stats.
+# =====================================================================
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, list_type|None, payload_lo, payload_hi) for each
+    chunk in buf[start:end).  LIST/RIFF chunks report their list type
+    and the range of their *contents* (past the type fourcc)."""
+    i = start
+    n = min(end, len(buf))
+    while i + 8 <= n:
+        cid = buf[i : i + 4]
+        clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+        lo = i + 8
+        hi = min(lo + clen, n)
+        if cid in (b"RIFF", b"LIST") and hi - lo >= 4:
+            yield cid, buf[lo : lo + 4], lo + 4, hi
+        else:
+            yield cid, None, lo, hi
+        i = lo + clen + (clen & 1)  # chunks are word-aligned
+
+
+def parse_avi(payload: bytes) -> dict | None:
+    """AVI container metadata + MJPEG frame ranges, pure Python.
+
+    Returns {width, height, usec_per_frame, n_frames, codec,
+    frames: [(lo, hi), ...]} or None if not an AVI.  `frames` are the
+    byte ranges of '##dc'/'##db' movi chunks in stream order; for an
+    MJPEG stream each range is one complete JPEG."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    out = {
+        "width": None, "height": None, "usec_per_frame": None,
+        "n_frames": None, "codec": None, "frames": [],
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        for cid, ltype, clo, chi in _riff_chunks(payload, lo, hi):
+            if cid == b"LIST":
+                walk(clo, chi)
+            elif cid == b"avih" and chi - clo >= 40:
+                out["usec_per_frame"] = int.from_bytes(
+                    payload[clo : clo + 4], "little"
+                )
+                out["n_frames"] = int.from_bytes(
+                    payload[clo + 16 : clo + 20], "little"
+                )
+                out["width"] = int.from_bytes(
+                    payload[clo + 32 : clo + 36], "little"
+                )
+                out["height"] = int.from_bytes(
+                    payload[clo + 36 : clo + 40], "little"
+                )
+            elif cid == b"strh" and chi - clo >= 8:
+                if payload[clo : clo + 4] == b"vids":
+                    out["codec"] = (
+                        payload[clo + 4 : clo + 8].decode("ascii", "replace")
+                    )
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db") and chi > clo:
+                out["frames"].append((clo, chi))
+
+    walk(12, len(payload))
+    return out
+
+
+def decode_avi_frames(
+    payload: bytes, every_k: int = 1, max_frames: int = 8
+) -> list[np.ndarray] | None:
+    """Decode every k-th MJPEG frame of an AVI to HxWx3 uint8 arrays
+    (frame-sampling: a training pipeline rarely wants all frames).
+    Returns None when the container isn't AVI or the stream isn't
+    MJPEG (no bitstream codec for H.264 etc. — honest null, not a
+    fake)."""
+    meta = parse_avi(payload)
+    if meta is None or not meta["frames"]:
+        return None
+    if meta["codec"] is not None and meta["codec"].upper() not in (
+        "MJPG", "MJPEG", "DMB1"
+    ):
+        return None
+    out = []
+    for lo, hi in meta["frames"][:: max(1, every_k)][:max_frames]:
+        px = decode_jpeg(payload[lo:hi])
+        if px is not None:
+            out.append(px)
+    return out or None
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """ISO-BMFF (MP4) box walk: {duration_s, width, height, brand}.
+    Fixed-point 16.16 tkhd dimensions; mvhd version 0 (u32) and 1
+    (u64) both handled.  Metadata only — no sample decode."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    out = {"duration_s": None, "width": None, "height": None,
+           "brand": payload[8:12].decode("ascii", "replace")}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        n = min(hi, len(payload))
+        while i + 8 <= n:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1 and i + 16 <= n:  # 64-bit largesize
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:
+                size = n - i
+            if size < 8:
+                return
+            end = min(i + size, n)
+            if btype in (b"moov", b"trak"):
+                walk(body, end)
+            elif btype == b"mvhd" and end - body >= 20:
+                ver = payload[body]
+                if ver == 1 and end - body >= 28:
+                    scale = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(payload[body + 16 : body + 20], "big")
+                if scale:
+                    out["duration_s"] = dur / scale
+            elif btype == b"tkhd" and end - body >= 84:
+                # width/height are the LAST two u32 (16.16 fixed) of tkhd
+                w = int.from_bytes(payload[end - 8 : end - 4], "big") >> 16
+                h = int.from_bytes(payload[end - 4 : end], "big") >> 16
+                if w and h and out["width"] is None:
+                    out["width"], out["height"] = w, h
+            i += size
+
+    walk(0, len(payload))
+    return out
+
+
+VIDEO_STATS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_decoded", T.IntegerType(), True),
+        T.StructField("frame_mean", T.DoubleType(), True),
+        T.StructField("frame_std", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_stats(
+    df: DataFrame,
+    binary_col: str = "html",
+    every_k: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """mapInPandas video metadata + sampled-frame pixel stats.
+
+    AVI/MJPEG rows decode REAL pixels (decode_avi_frames → mean/std
+    over the sampled frames); MP4 rows carry container metadata with
+    null frame stats (no bitstream codec — the gap is surfaced as
+    data).  Non-video rows are filtered JVM-side before the Arrow
+    channel, so only video bytes cross into python."""
+    src = (
+        sniff_media(df, binary_col)
+        .filter(F.col("media_type").isin("video/x-msvideo", "video/mp4"))
+        .select("url", binary_col, "media_type")
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for url, payload, mt in zip(
+                pdf["url"], pdf[binary_col], pdf["media_type"]
+            ):
+                buf = bytes(payload) if payload is not None else b""
+                row = {
+                    "url": url, "media_type": mt, "width": None,
+                    "height": None, "n_frames": None, "duration_s": None,
+                    "codec": None, "n_decoded": None, "frame_mean": None,
+                    "frame_std": None,
+                }
+                if mt == "video/x-msvideo":
+                    meta = parse_avi(buf)
+                    if meta is not None:
+                        row["width"] = meta["width"]
+                        row["height"] = meta["height"]
+                        row["n_frames"] = meta["n_frames"]
+                        if meta["usec_per_frame"] and meta["n_frames"]:
+                            row["duration_s"] = (
+                                meta["usec_per_frame"] * meta["n_frames"] / 1e6
+                            )
+                        row["codec"] = meta["codec"]
+                        frames = decode_avi_frames(buf, every_k, max_frames)
+                        if frames:
+                            px = np.concatenate(
+                                [f.astype(np.float64).ravel() for f in frames]
+                            )
+                            row["n_decoded"] = len(frames)
+                            row["frame_mean"] = float(px.mean())
+                            row["frame_std"] = float(px.std())
+                elif mt == "video/mp4":
+                    meta = parse_mp4(buf)
+                    if meta is not None:
+                        row["width"] = meta["width"]
+                        row["height"] = meta["height"]
+                        row["duration_s"] = meta["duration_s"]
+                        row["codec"] = meta["brand"]
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=[f.name for f in VIDEO_STATS])
+            for c in ("width", "height", "n_frames", "n_decoded"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return src.mapInPandas(run, schema=VIDEO_STATS)

@@ -1425,3 +1425,282 @@ def q54(spark, sf):
     ).filter(F.col("src") != F.col("dst"))
     pr = pagerank(edges, n_iter=5, damping=0.85)
     return pr.select("node", F.round("pr", 4).alias("pr")).orderBy("node")
+
+
+# =====================================================================
+# Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher" §A1.1 repetition filters): per-doc
+# duplicate-line fraction and top-bigram fraction.  The corpus docs
+# are single-line word soup, so "lines" are the 8-word chunks of the
+# whitespace token stream — deterministic and engine-portable.  All
+# per-row array expressions: NO shuffle, NO UDF — at 100 TB this is a
+# map-only codegen pass (the cheapest possible quality sweep), unlike
+# the explode+groupBy formulation which shuffles |corpus|·|lines|
+# rows.  Bigram top-count is O(distinct·n) per doc — bounded by doc
+# length, not corpus size.
+# =====================================================================
+@query(
+    "q55_repetition_signals",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    chunked AS (
+      SELECT doc_id, w,
+             list_transform(
+               generate_series(1, CAST(ceil(len(w) / 8.0) AS INT)),
+               i -> array_to_string(w[((i-1)*8+1):least((i-1)*8+8, len(w))],
+                                    ' ')) AS lines,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS bg
+      FROM tok)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           ROUND(CASE WHEN len(lines) = 0 THEN 0.0
+                 ELSE (len(lines) - len(list_distinct(lines)))
+                      / CAST(len(lines) AS DOUBLE) END, 4) AS dup_line_frac,
+           ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b))))
+                      / CAST(len(bg) AS DOUBLE) END, 4) AS top_bigram_frac
+    FROM chunked ORDER BY doc_id
+    """,
+)
+def q55(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) while
+    # DuckDB's generate_series(1, 0) is empty — a whitespace-only doc
+    # must produce zero lines in both engines
+    lines = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(8.0)).cast("int")),
+            lambda i: F.array_join(
+                F.slice(F.col("w"), (i - 1) * 8 + 1, 8), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("w"), 1, n - 1),
+            F.slice(F.col("w"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", lines.alias("lines"), bg.alias("bg"))
+    nl = F.size("lines").cast("double")
+    nb = F.size("bg").cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda b: F.size(F.filter(F.col("bg"), lambda x: x == b)),
+        )
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.round(
+            F.when(nl == 0, F.lit(0.0)).otherwise(
+                (nl - F.size(F.array_distinct("lines"))) / nl
+            ),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(nb == 0, F.lit(0.0)).otherwise(top / nb), 4
+        ).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# SURT keys + CDX index records — the web-archive index format
+# (Common Crawl's cdx-*.gz / OpenWayback CDXJ): one record per
+# capture, keyed by (SURT urlkey, 14-digit timestamp).  Sorting by
+# urlkey range-partitions every subdomain of a domain into one key
+# range — at 100 TB the sort IS the index build (rangepartition +
+# per-partition write of sorted runs).  Pages are synthesized from
+# orders (the driver's DuckDB views carry no html table), with
+# mixed-case hosts, a leading www. and unsorted query params so the
+# oracle verifies every SURT rule.
+# =====================================================================
+@query(
+    "q56_cdx_index",
+    """
+    WITH pages AS (
+      SELECT 'h' || CAST(o_custkey % 7 AS VARCHAR) || '.Example.COM' AS host_raw,
+             '/p/' || CAST(o_orderkey AS VARCHAR) || '.html' AS path,
+             'b=' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '&a=' || CAST(o_custkey % 5 AS VARCHAR) AS query,
+             strftime(o_orderdate, '%Y%m%d%H%M%S') AS ts14,
+             'page body ' || CAST(o_orderkey AS VARCHAR) AS body
+      FROM orders WHERE o_orderkey % 10 = 0)
+    SELECT array_to_string(list_reverse(string_split(lower(host_raw), '.')), ',')
+             || ')' || path || '?'
+             || array_to_string(list_sort(string_split(query, '&')), '&')
+             AS urlkey,
+           ts14,
+           'https://www.' || lower(host_raw) || path || '?' || query AS url,
+           md5(body) AS digest,
+           CAST(length(body) AS BIGINT) AS length
+    FROM pages ORDER BY urlkey, ts14, url
+    """,
+)
+def q56(spark, sf):
+    from ..functions.urls import surt_key
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    host_raw = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 7).cast("string"),
+        F.lit(".Example.COM"),
+    )
+    path = F.concat(
+        F.lit("/p/"), F.col("o_orderkey").cast("string"), F.lit(".html")
+    )
+    query = F.concat(
+        F.lit("b="), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("&a="), (F.col("o_custkey") % 5).cast("string"),
+    )
+    body = F.concat(F.lit("page body "), F.col("o_orderkey").cast("string"))
+    # the crawl store keeps url_canon with a lowercased host; the raw
+    # url keeps its www. + case to exercise surt_key's normalization
+    url = F.concat(F.lit("https://www."), F.lower(host_raw), path,
+                   F.lit("?"), query)
+    pages = o.select(
+        url.alias("url"),
+        F.concat(F.lit("www."), F.lower(host_raw)).alias("host"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss").alias("ts14"),
+        body.alias("body"),
+    )
+    return pages.select(
+        surt_key(F.col("url"), F.col("host")).alias("urlkey"),
+        "ts14",
+        "url",
+        F.md5(F.encode("body", "UTF-8")).alias("digest"),
+        F.octet_length("body").cast("long").alias("length"),
+    ).orderBy("urlkey", "ts14", "url")
+
+
+# =====================================================================
+# anchor-text index — aggregate link text per TARGET url (the classic
+# web-search / pretraining signal: what other pages call a page).
+# Spark side: extract_anchor_texts (pure Catalyst element walk) →
+# groupBy(link, anchor) → top anchor per link by count.  Equality-
+# keyed shuffles only; candidate volume is |anchors|, never |pages|².
+# =====================================================================
+@query(
+    "q57_anchor_text_index",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(o_custkey % 5 AS VARCHAR)
+               || '.ex/dir/page' || CAST(o_orderkey AS VARCHAR) || '.html'
+               AS src_url,
+             'h' || CAST(o_custkey % 5 AS VARCHAR) || '.ex' AS host,
+             '<a href="/t/' || CAST(o_orderkey % 11 AS VARCHAR)
+               || '" rel="x">Topic ' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '</a> <a href="n' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '.html">  read  more  </a>'
+               || '<a href="#skip">never kept</a>' AS html
+      FROM orders WHERE o_orderkey % 8 = 0),
+    elems AS (
+      SELECT src_url, host,
+             UNNEST(regexp_extract_all(html,
+               '(?is)(<a\\s[^>]*>[^<]*</a>)', 1)) AS e
+      FROM pages),
+    pairs AS (
+      SELECT src_url, host,
+             regexp_extract(e, 'href="([^"#][^"]*)"', 1) AS href,
+             trim(regexp_extract(e, '>([^<]*)<', 1)) AS anchor
+      FROM elems WHERE regexp_extract(e, 'href="([^"#][^"]*)"', 1) <> ''),
+    resolved AS (
+      SELECT CASE
+               WHEN href LIKE '/%' THEN 'https://' || host || href
+               ELSE 'https://' || host || '/dir/' || href
+             END AS link,
+             anchor
+      FROM pairs),
+    counted AS (
+      SELECT link, anchor, COUNT(*) AS n
+      FROM resolved GROUP BY link, anchor),
+    ranked AS (
+      SELECT link, anchor, n,
+             ROW_NUMBER() OVER (PARTITION BY link
+                                ORDER BY n DESC, anchor) AS rk,
+             SUM(n) OVER (PARTITION BY link) AS n_refs
+      FROM counted)
+    SELECT link, anchor AS top_anchor, CAST(n AS BIGINT) AS top_anchor_refs,
+           CAST(n_refs AS BIGINT) AS n_refs
+    FROM ranked WHERE rk = 1 ORDER BY link
+    """,
+)
+def q57(spark, sf):
+    from ..functions.links import extract_anchor_texts
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".ex/dir/page"), F.col("o_orderkey").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="/t/'), (F.col("o_orderkey") % 11).cast("string"),
+        F.lit('" rel="x">Topic '), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit('</a> <a href="n'), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('.html">  read  more  </a>'),
+        F.lit('<a href="#skip">never kept</a>'),
+    )
+    pages = o.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    anchors = extract_anchor_texts(pages)
+    counted = anchors.groupBy("link", "anchor").agg(F.count("*").alias("n"))
+    wrank = Window.partitionBy("link").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    wsum = Window.partitionBy("link")
+    return (
+        counted.withColumn("rk", F.row_number().over(wrank))
+        .withColumn("n_refs", F.sum("n").over(wsum))
+        .filter(F.col("rk") == 1)
+        .select(
+            "link",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").cast("long").alias("top_anchor_refs"),
+            F.col("n_refs").cast("long").alias("n_refs"),
+        )
+        .orderBy("link")
+    )
+
+
+# =====================================================================
+# deterministic hash-stratified sampling — the training-mix rebalance
+# step (downsample the majority language, keep the tail).  The keep
+# decision is md5(doc_id) < per-stratum hex threshold: reproducible
+# across engines/runs/cluster sizes (no RNG, no seed drift between
+# partitions), embarrassingly parallel (map-only filter — the sample
+# never shuffles), and composable (the same row is kept in every
+# rerun, so incremental pipelines don't churn).  Thresholds: en keeps
+# md5 < '4' (~25%), everything else < 'c' (~75%).
+# =====================================================================
+@query(
+    "q58_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'en' THEN '4' ELSE 'c' END
+    ORDER BY doc_id
+    """,
+)
+def q58(spark, sf):
+    d = _t(spark, sf, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit("4")).otherwise(F.lit("c"))
+    return (
+        d.filter(F.md5(F.col("doc_id").cast("string")) < thr)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
