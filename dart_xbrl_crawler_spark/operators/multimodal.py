@@ -794,17 +794,24 @@ def _gif_lzw(data: bytes, min_code: int, limit: int) -> list[int] | None:
 
 
 def decode_stub(payload: bytes, media_type: str | None) -> np.ndarray:
-    """Codec dispatch: image/png, image/jpeg and image/gif decode REAL
-    pixels (decode_png / decode_jpeg / decode_gif) and features are
-    per-channel means over the 8-bin row partition of the image;
-    remaining media types keep the deterministic stub (no video codec
-    in this container — swap for ffmpeg when available)."""
+    """Codec dispatch: image/png, image/jpeg, image/gif and MJPEG-AVI
+    video decode REAL pixels (decode_png / decode_jpeg / decode_gif /
+    decode_avi_frames first frame) and features are per-channel means
+    over the 8-bin row partition of the image; remaining media types
+    keep the deterministic 64-byte-header stub (no bitstream codec for
+    H.264/audio-mp3 in this container — swap for ffmpeg when
+    available)."""
     if media_type is None:
         raise NotImplementedError("unknown media type — no codec registered")
-    if media_type in ("image/png", "image/jpeg", "image/gif"):
-        dec = {"image/png": decode_png, "image/jpeg": decode_jpeg,
-               "image/gif": decode_gif}[media_type]
-        px = dec(payload)
+    if media_type in ("image/png", "image/jpeg", "image/gif",
+                      "video/x-msvideo"):
+        if media_type == "video/x-msvideo":
+            frames = decode_avi_frames(payload, max_frames=1)
+            px = frames[0] if frames else None
+        else:
+            dec = {"image/png": decode_png, "image/jpeg": decode_jpeg,
+                   "image/gif": decode_gif}[media_type]
+            px = dec(payload)
         if px is not None:
             gray = px.astype(np.float32).mean(axis=2) / 255.0
             bins = np.array_split(gray, 8, axis=0)
