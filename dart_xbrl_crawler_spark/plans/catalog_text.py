@@ -1725,3 +1725,200 @@ def q59(spark, sf):
     cent = train_ivf_codebook(e, k=16, n_iter=3)
     indexed = ivf_assign(e.filter(F.col("vec_id") != qrow["vec_id"]), cent)
     return ivf_search(indexed, cent, qrow["embedding"], k=10, nprobe=4)
+
+
+# =====================================================================
+# trigram-LM rarity score — the CCNet-style cheap LM quality signal
+# (Wenzek et al. 2020 score docs by LM perplexity; avg corpus n-gram
+# frequency is its standard two-pass SQL-exact proxy).  Pass 1 builds
+# the LM: corpus char-trigram counts.  Pass 2 joins each doc's
+# trigrams back and averages.  Scale shape: the LM table is bounded by
+# |alphabet|^3 rows regardless of corpus size, so at 100 TB pass 2 is
+# a BROADCAST join against a few-MB dimension (AQE picks this up from
+# the aggregated size; no hint needed at bench scale) — the corpus
+# shuffles once, in pass 1, with map-side partial aggregation.  The
+# score is SUM(freq)/COUNT(*) over exact integers — one final
+# division, so no float-summation-order drift between engines.
+# =====================================================================
+@query(
+    "q60_trigram_lm_score",
+    """
+    WITH tri AS (
+      SELECT doc_id, substr(text, i, 3) AS tri
+      FROM documents,
+           UNNEST(range(1, GREATEST(LENGTH(text) - 2, 0) + 1)) AS t(i)
+      WHERE LENGTH(text) >= 3),
+    lm AS (SELECT tri, COUNT(*) AS freq FROM tri GROUP BY tri)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(SUM(freq) AS BIGINT) AS sum_freq,
+           ROUND(SUM(freq) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_tri_freq
+    FROM tri JOIN lm USING (tri)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q60(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.length("text") >= 3)
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    )
+    ex = d.select("doc_id", F.explode(tri_arr).alias("tri"))
+    lm = ex.groupBy("tri").agg(F.count("*").alias("freq"))
+    return (
+        ex.join(lm, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tri"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .withColumn(
+            "avg_tri_freq", F.round(F.col("sum_freq") / F.col("n_tri"), 4)
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# C4-style line-level cross-corpus dedup (Raffel et al. 2020 §2.2:
+# drop any line occurring more than once in the corpus, keep the rest
+# of the doc).  Lines are the same 8-word chunks as q55.  Scale shape:
+# the occurrence count groups by md5(line) so only 32-byte hashes
+# shuffle, never the line text (the same narrow-shuffle trick as the
+# URL-seen path, dedup.py); reassembly is one groupBy(doc_id) with an
+# in-memory array_sort over that doc's own lines — bounded by doc
+# length, not corpus size.  text_hash returns md5 of the rebuilt doc
+# so the parity check pins the full reassembled text without moving
+# it through the driver.
+# =====================================================================
+@query(
+    "q61_line_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(w[((i-1)*8+1):least((i-1)*8+8, len(w))],
+                             ' ') AS line
+      FROM tok,
+           UNNEST(generate_series(1, CAST(ceil(len(w) / 8.0) AS INT)))
+             AS t(i)),
+    flagged AS (
+      SELECT doc_id, idx, line,
+             COUNT(*) OVER (PARTITION BY md5(line)) AS n_occ
+      FROM lines)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN n_occ = 1 THEN line END,
+                                   ' ' ORDER BY idx), '')) AS text_hash
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q61(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = d.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    lines_arr = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(8.0)).cast("int")),
+            lambda i: F.array_join(F.slice(F.col("w"), (i - 1) * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # posexplode on an empty array emits nothing — a whitespace-only
+    # doc is absent from the output in both engines
+    lines = docs.select(
+        "doc_id", F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("lh", F.md5("line"))
+    cnt = lines.groupBy("lh").agg(F.count("*").alias("n_occ"))
+    flagged = lines.join(cnt, "lh")
+    kept_struct = F.when(
+        F.col("n_occ") == 1, F.struct(F.col("pos"), F.col("line"))
+    )  # collect_list skips the NULLs of removed lines
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_occ") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                )
+            ).alias("text_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# benchmark-contamination scan — flag corpus docs containing any
+# 13-word span of a benchmark set (the n-gram-overlap decontamination
+# check of GPT-3 appx. C / PaLM: 13-grams).  The benchmark here is
+# synthesized deterministically from the corpus itself (words 5..17
+# of every doc_id % 37 == 0 doc), so source docs are guaranteed hits
+# and exact-dup partners surface as cross-doc contamination; a
+# production run would feed real benchmark rows and add
+# `g.doc_id != b.bench_id`.  Scale shape: the benchmark side is tiny
+# and explicitly broadcast — the 13-gram explode of the corpus is
+# map-only, joins against the broadcast on a 32-byte md5 key, and
+# never shuffles (contamination at 100 TB is a scan, not a shuffle).
+# =====================================================================
+@query(
+    "q62_contamination_13gram",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bench AS (
+      SELECT doc_id AS bench_id, array_to_string(w[5:17], ' ') AS ngram
+      FROM tok WHERE doc_id % 37 = 0 AND len(w) >= 17),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+12], ' ') AS ngram
+      FROM tok, UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+      WHERE len(w) >= 13)
+    SELECT g.doc_id,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+    FROM grams g JOIN bench b ON md5(g.ngram) = md5(b.ngram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def q62(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = d.select("doc_id", w.alias("w"))
+    bench = docs.filter((F.col("doc_id") % 37 == 0) & (F.size("w") >= 17)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.md5(F.array_join(F.slice(F.col("w"), 5, 13), " ")).alias("gh"),
+    )
+    grams = docs.filter(F.size("w") >= 13).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 12),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, 13), " ")),
+            )
+        ).alias("gh"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bench_id").cast("long").alias("n_bench_hits"))
+        .orderBy("doc_id")
+    )

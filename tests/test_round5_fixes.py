@@ -786,3 +786,60 @@ def test_pagerank_empty_and_duplicate_edges(spark):
     a = {r["node"]: r["pr"] for r in pagerank(dup, n_iter=3).collect()}
     b = {r["node"]: r["pr"] for r in pagerank(ded, n_iter=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# q61 C4-style line dedup: planted duplicate chunks — semantics pinned
+# against a hand-computed reassembly (the sf0.01 parity test covers
+# the engines agreeing; this covers them agreeing on the RIGHT thing)
+# ---------------------------------------------------------------------
+def test_line_dedup_planted_reassembly(spark):
+    import hashlib
+
+    from dart_xbrl_crawler_spark.plans import catalog_text as CT
+
+    dup = " ".join(f"dup{i}" for i in range(8))      # one full 8-word line
+    uniq_a = " ".join(f"alpha{i}" for i in range(8))
+    uniq_b = "tail one two"                          # short final chunk
+    docs = [
+        (0, f"{dup} {uniq_a} {uniq_b}", "en"),       # 3 lines, 1 removed
+        (1, f"{dup} {dup}", "en"),                   # both lines removed
+        (2, "  ", "en"),                             # whitespace-only: absent
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string, lang string")
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in CT.Q["q61_line_dedup"](spark, d).collect()}
+
+    assert set(out) == {0, 1}                        # doc 2 emits nothing
+    assert (out[0]["n_kept"], out[0]["n_removed"]) == (2, 1)
+    expect0 = hashlib.md5(f"{uniq_a} {uniq_b}".encode()).hexdigest()
+    assert out[0]["text_hash"] == expect0
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (0, 2)
+    assert out[1]["text_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_contamination_excluding_self_is_expressible(spark):
+    """q62 keeps self-hits by design (deterministic non-empty result);
+    the production variant — exclude the benchmark's own source doc —
+    is one extra predicate and must yield exactly the cross-doc hits."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dart_xbrl_crawler_spark.plans import catalog_text as CT
+
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = [
+        (0, span, "en"),                 # bench source (0 % 37 == 0)
+        (7, "prefix " + span, "en"),     # cross-doc contaminated copy
+        (8, "totally different words " * 5, "en"),
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string, lang string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    hits = {r["doc_id"] for r in CT.Q["q62_contamination_13gram"](spark, d).collect()}
+    assert hits == {0, 7}                # source self-hit + dup partner
