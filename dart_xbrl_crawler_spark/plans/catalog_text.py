@@ -1922,3 +1922,162 @@ def q62(spark, sf):
         .agg(F.count_distinct("bench_id").cast("long").alias("n_bench_hits"))
         .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# adaptive recrawl-interval estimation — the freshness policy of
+# Cho & Garcia-Molina 2003 ("Effective page refresh policies"): watch
+# each url's content signature across fetches, estimate its change
+# rate, and set the next revisit interval by linear interpolation
+# between a 6 h floor (always changing) and a 168 h ceiling (never
+# changed).  Fetch history is synthesized from orders (url_id, fetch
+# ts, signature), ordered by (ts, tie) so LAG is deterministic under
+# same-day fetches.  Scale shape: one window partitioned by url_id —
+# url cardinality IS the parallelism at 10^10 urls; the interpolation
+# is a single exact-integer division (no float-order drift).  Feeds
+# FrontierStore.recrawl's next_fetch_after the same way the fixed
+# interval does today.
+# =====================================================================
+@query(
+    "q63_recrawl_interval",
+    """
+    WITH hist AS (
+      SELECT o_custkey % 101 AS url_id, o_orderdate AS ts,
+             o_orderkey AS tie, o_orderkey % 3 AS sig
+      FROM orders WHERE o_orderkey % 5 = 0),
+    lagged AS (
+      SELECT url_id, sig,
+             LAG(sig) OVER (PARTITION BY url_id ORDER BY ts, tie)
+               AS prev_sig
+      FROM hist)
+    SELECT url_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(SUM(CASE WHEN prev_sig IS NOT NULL AND sig <> prev_sig
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           ROUND(CASE WHEN COUNT(*) <= 1 THEN 168.0
+                 ELSE 6 + 162 * (COUNT(*) - 1
+                        - SUM(CASE WHEN prev_sig IS NOT NULL
+                                    AND sig <> prev_sig
+                              THEN 1 ELSE 0 END))
+                      / CAST(COUNT(*) - 1 AS DOUBLE) END, 4)
+             AS next_interval_h
+    FROM lagged GROUP BY url_id ORDER BY url_id
+    """,
+)
+def q63(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    hist = o.select(
+        (F.col("o_custkey") % 101).alias("url_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+        (F.col("o_orderkey") % 3).alias("sig"),
+    )
+    w = Window.partitionBy("url_id").orderBy("ts", "tie")
+    lagged = hist.withColumn("prev_sig", F.lag("sig").over(w))
+    changed = F.when(
+        F.col("prev_sig").isNotNull() & (F.col("sig") != F.col("prev_sig")), 1
+    ).otherwise(0)
+    agg = lagged.groupBy("url_id").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(changed).cast("long").alias("n_changes"),
+    )
+    pairs = (F.col("n_fetches") - 1).cast("double")
+    interval = F.when(F.col("n_fetches") <= 1, F.lit(168.0)).otherwise(
+        6 + 162 * (pairs - F.col("n_changes")) / pairs
+    )
+    return agg.withColumn("next_interval_h", F.round(interval, 4)).orderBy(
+        "url_id"
+    )
+
+
+# =====================================================================
+# redirect-chain resolution — follow each url's 3xx redirect edge to
+# its terminal target, depth-bounded at 8 hops, flagging cycles (the
+# canonical-url step every crawler runs before frontier insert; cf.
+# RFC 9110 §15.4 redirect loops).  The redirect map is functional
+# (GROUP BY src MIN(dst) pins one edge per source deterministically).
+# Spark side: 7 successive LEFT joins — an already-terminal row finds
+# no match and carries unchanged, so the loop is a fixed-point walk
+# identical to the oracle's depth-bounded recursive CTE; lineage is
+# cut every 3 hops (localCheckpoint, the components.py pattern).
+# Scale shape: each hop is one equality join on the current node —
+# O(|urls| · maxdepth) total work, no window, no cross product; at
+# 10^10 urls the map side would be bucketed by src so every hop
+# reuses the same partitioning.
+# =====================================================================
+@query(
+    "q64_redirect_resolve",
+    """
+    WITH RECURSIVE raw AS (
+      SELECT o_orderkey % 211 AS src, (o_orderkey * 3 + 1) % 211 AS dst
+      FROM orders
+      WHERE o_orderkey % 4 = 1 AND (o_orderkey % 211) % 3 <> 0
+      UNION ALL SELECT 300, 301 UNION ALL SELECT 301, 300),
+    edges AS (SELECT src, MIN(dst) AS dst FROM raw GROUP BY src),
+    walk AS (
+      SELECT src AS start, dst AS cur, 1 AS depth FROM edges
+      UNION ALL
+      SELECT w.start, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON w.cur = e.src
+      WHERE w.depth < 8),
+    final AS (
+      SELECT start, cur, depth,
+             ROW_NUMBER() OVER (PARTITION BY start
+                                ORDER BY depth DESC) AS rk
+      FROM walk)
+    SELECT f.start AS src,
+           CAST(f.cur AS BIGINT) AS final_url,
+           CAST(f.depth AS BIGINT) AS hops,
+           CASE WHEN e.src IS NULL THEN 'resolved' ELSE 'loop' END
+             AS status
+    FROM final f LEFT JOIN edges e ON f.cur = e.src
+    WHERE f.rk = 1 ORDER BY f.start
+    """,
+)
+def q64(spark, sf):
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderkey") % 4 == 1)
+        & ((F.col("o_orderkey") % 211) % 3 != 0)  # ~1/3 of nodes terminal
+    )
+    raw = o.select(
+        (F.col("o_orderkey") % 211).alias("src"),
+        ((F.col("o_orderkey") * 3 + 1) % 211).alias("dst"),
+    ).unionByName(  # planted 2-cycle exercises the loop-detection branch
+        o.sparkSession.createDataFrame(
+            [(300, 301), (301, 300)], schema="src long, dst long"
+        )
+    )
+    edges = raw.groupBy("src").agg(F.min("dst").alias("dst")).localCheckpoint()
+    e2 = edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    )
+    state = edges.select(
+        F.col("src").alias("start"),
+        F.col("dst").alias("cur"),
+        F.lit(1).alias("depth"),
+    )
+    for hop in range(2, 9):
+        state = (
+            state.join(e2, state["cur"] == e2["e_src"], "left")
+            .select(
+                "start",
+                F.coalesce("e_dst", "cur").alias("cur"),
+                F.when(F.col("e_dst").isNotNull(), F.col("depth") + 1)
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+            )
+        )
+        if hop % 3 == 0:
+            state = state.localCheckpoint()
+    return (
+        state.join(e2, state["cur"] == e2["e_src"], "left")
+        .select(
+            F.col("start").alias("src"),
+            F.col("cur").cast("long").alias("final_url"),
+            F.col("depth").cast("long").alias("hops"),
+            F.when(F.col("e_src").isNull(), F.lit("resolved"))
+            .otherwise(F.lit("loop"))
+            .alias("status"),
+        )
+        .orderBy("src")
+    )

@@ -843,3 +843,77 @@ def test_contamination_excluding_self_is_expressible(spark):
     df.write.mode("overwrite").parquet(d + "/documents.parquet")
     hits = {r["doc_id"] for r in CT.Q["q62_contamination_13gram"](spark, d).collect()}
     assert hits == {0, 7}                # source self-hit + dup partner
+
+
+# ---------------------------------------------------------------------
+# charset sniff + decode kernel (functions/charset.py)
+# ---------------------------------------------------------------------
+def test_charset_sniff_rules():
+    from dart_xbrl_crawler_spark.functions.charset import sniff_charset
+
+    korean = "한국 공시 자료"
+    assert sniff_charset("plain ascii".encode()) == "utf-8"
+    assert sniff_charset(korean.encode("utf-8")) == "utf-8"
+    # BOMs are authoritative, even over a lying meta tag
+    assert sniff_charset("﻿abc".encode("utf-8")) == "utf-8-sig"
+    assert (
+        sniff_charset(b"\xff\xfe" + "x<meta charset=euc-kr>".encode("utf-16-le"))
+        == "utf-16-le"
+    )
+    assert sniff_charset("hi".encode("utf-16")) in ("utf-16-le", "utf-16-be")
+    # meta tag within the first 1024 bytes, label aliasing
+    html = b'<html><head><meta charset="ks_c_5601-1987"></head>' + korean.encode("euc-kr")
+    assert sniff_charset(html) == "euc-kr"
+    meta2 = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=EUC-KR">'
+        + korean.encode("euc-kr")
+    )
+    assert sniff_charset(meta2) == "euc-kr"
+    # unlabeled non-UTF-8 falls back to cp1252 (WHATWG legacy default)
+    assert sniff_charset(b"caf\xe9 \x93smart\x94") == "cp1252"
+    # a meta tag beyond the 1024-byte prescan window is ignored
+    far = b" " * 1100 + b'<meta charset="euc-kr">' + b"\xb0\xa1"
+    assert sniff_charset(far) == "cp1252"
+
+
+def test_charset_decode_byte_identity():
+    from dart_xbrl_crawler_spark.functions.charset import decode_bytes
+
+    korean = "한국 공시 자료: 재무제표"
+    for codec, label in [
+        ("euc-kr", b'<meta charset="euc-kr">'),
+        ("utf-8", b""),
+        ("shift_jis", b'<meta charset="shift_jis">'),
+    ]:
+        payload = label + korean.encode(codec) if codec != "shift_jis" else (
+            label + "日本語テキスト".encode(codec)
+        )
+        got_codec, text = decode_bytes(payload)
+        assert got_codec == codec
+        # identity against python's own reference decode
+        assert text == payload.decode(codec)
+    assert decode_bytes(None) == ("utf-8", "")
+    assert decode_bytes(b"") == ("utf-8", "")
+    # replacement, never a throw, on truncated multibyte sequences
+    codec, text = decode_bytes(b'<meta charset="euc-kr">\xb0')
+    assert codec == "euc-kr" and "�" in text
+
+
+def test_charset_decode_spark_e2e(spark):
+    from dart_xbrl_crawler_spark.functions.charset import decode_html
+
+    korean = "공시자료"
+    rows = [
+        (1, b'<meta charset="euc-kr">' + korean.encode("euc-kr")),
+        (2, "plain utf-8 text ü".encode("utf-8")),
+        (3, "﻿bom text".encode("utf-8")),
+        (4, b"caf\xe9"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, schema="page_id long, html binary")
+    out = {r["page_id"]: r for r in decode_html(df).collect()}
+    assert out[1]["charset"] == "euc-kr" and korean in out[1]["text"]
+    assert out[2]["charset"] == "utf-8" and out[2]["text"].endswith("ü")
+    assert out[3]["charset"] == "utf-8-sig" and out[3]["text"] == "bom text"
+    assert out[4]["charset"] == "cp1252" and out[4]["text"] == "café"
+    assert out[5]["text"] == ""
