@@ -1,0 +1,168 @@
+"""Composed webtext curation pipeline: Common-Crawl-shaped pages in,
+training corpus out.
+
+One library call chains the individually-verified operators into the
+standard pretraining data flow (the C4 / CCNet / Gopher recipe):
+
+    decode (charset sniff, only where text is missing)
+      → language ID (stopword vote)
+      → quality gate (word count + Gopher repetition signals)
+      → exact dedup (md5 canonical, min-url wins)
+      → deterministic hash-stratified sampling per language
+
+Every step is a DataFrame transformation — one job when the result is
+written, no intermediate actions, no driver collects.  Per-stage row
+accounting comes back as a SECOND lazy DataFrame built from the same
+lineage (count aggregates union'd), so a caller who wants the funnel
+pays one extra pass, and a caller who doesn't pays nothing.
+
+Scale notes: decode is the only python stage (Arrow-batched, gated to
+rows that actually need it); lang/quality/sampling are map-only
+codegen; the single shuffle is the dedup groupBy on md5(text).
+Near-dup clustering and line-level dedup stay separate operators
+(plans/catalog_text.py q47/q61) — they carry their own shuffles and a
+curation run chooses whether to pay them.
+
+Reference analog: the reference has no curation concept (it extracts
+from every fetched filing unconditionally, batch_processor.py); this
+pipeline is the additive training-data surface over the same pages
+schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.charset import decode_html
+
+__all__ = ["lang_guess_col", "repetition_cols", "curate"]
+
+
+def lang_guess_col(text: str = "text"):
+    """Stopword-vote language guess (the q25 heuristic, reusable)."""
+    padded = F.concat(F.lit(" "), F.col(text), F.lit(" "))
+    return (
+        F.when(padded.like("% the %"), F.lit("en"))
+        .when(padded.like("% der %") | padded.like("% und %"), F.lit("de"))
+        .when(padded.like("% le %") | padded.like("% la %"), F.lit("fr"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def repetition_cols(text: str = "text"):
+    """(n_words, dup_line_frac, top_bigram_frac) — the q55 map-only
+    Gopher signals as reusable columns."""
+    w = F.filter(F.split(F.trim(F.col(text)), r"\s+"), lambda x: x != "")
+    n = F.size(w)
+    lines = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(8.0)).cast("int")),
+            lambda i: F.array_join(F.slice(w, (i - 1) * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nl = F.size(lines).cast("double")
+    nb = F.size(bg).cast("double")
+    dup_line = F.when(nl == 0, F.lit(0.0)).otherwise(
+        (nl - F.size(F.array_distinct(lines))) / nl
+    )
+    top_bg = F.when(nb == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda b: F.size(F.filter(bg, lambda x: x == b)),
+            )
+        ).cast("double")
+        / nb
+    )
+    return n, dup_line, top_bg
+
+
+def curate(
+    pages: DataFrame,
+    min_words: int = 5,
+    max_words: int = 1_000_000,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    sample_thresholds: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (curated corpus, per-stage funnel stats), both lazy.
+
+    ``pages`` carries the input contract (url, warc_ts, html, text,
+    lang); ``sample_thresholds`` maps lang → md5 hex prefix threshold
+    (q58 semantics: keep iff md5(url) < threshold; default keeps
+    everything).
+    """
+    # 1. decode only the rows that need it — the common crawl case is
+    # text already extracted upstream; html-only rows pay the python
+    # stage, nobody else does
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ready = pages.filter(has_text).withColumn(
+        "charset", F.lit("pre-decoded")
+    )
+    needs = pages.filter(~has_text).drop("text")
+    # union unconditionally: an empty `needs` side costs nothing at run
+    # time, and probing it here (isEmpty) would scan the input twice
+    decoded = ready.unionByName(decode_html(needs), allowMissingColumns=False)
+
+    # 2-3. language + quality, all map-only
+    n_words, dup_line, top_bg = repetition_cols()
+    scored = decoded.select(
+        "*",
+        lang_guess_col().alias("lang_guess"),
+        n_words.alias("n_words"),
+        F.round(dup_line, 4).alias("dup_line_frac"),
+        F.round(top_bg, 4).alias("top_bigram_frac"),
+    )
+    quality_ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    passed = scored.filter(quality_ok)
+
+    # 4. exact dedup — the one shuffle; min-url is the canonical copy
+    w_min = passed.groupBy(F.md5("text").alias("_th")).agg(
+        F.min("url").alias("_keep_url")
+    )
+    deduped = (
+        passed.withColumn("_th", F.md5("text"))
+        .join(w_min, "_th")
+        .filter(F.col("url") == F.col("_keep_url"))
+        .drop("_th", "_keep_url")
+    )
+
+    # 5. deterministic per-lang downsample (q58 semantics on md5(url))
+    if sample_thresholds:
+        thr = F.lit(None).cast("string")
+        for lang, hexceil in sample_thresholds.items():
+            thr = F.when(F.col("lang_guess") == lang, F.lit(hexceil)).otherwise(
+                thr
+            )
+        curated = deduped.filter(thr.isNull() | (F.md5("url") < thr))
+    else:
+        curated = deduped
+
+    def _n(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(stage).alias("stage"), F.count("*").alias("rows")
+        )
+
+    stats = (
+        _n(pages, "input")
+        .unionByName(_n(decoded, "decoded"))
+        .unionByName(_n(passed, "quality_pass"))
+        .unionByName(_n(deduped, "deduped"))
+        .unionByName(_n(curated, "curated"))
+    )
+    return curated, stats

@@ -106,3 +106,39 @@ def test_extract_projects_only_kernel_columns(spark, fixture_bundle):
     # column pruning must eliminate them from the whole plan
     assert "lang" not in plan
     assert "warc_ts" not in plan
+
+
+def test_contamination_scan_is_broadcast_mapside(spark):
+    """q62's benchmark side is explicitly broadcast: the corpus 13-gram
+    stream must join it without a shuffle on the big side (contamination
+    at scale is a scan, not a shuffle)."""
+    plan = _plan(E.queries()["q62_contamination_13gram"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_shuffles_hash_not_text(spark):
+    """q61's occurrence count groups by md5(line): the partial
+    aggregate's grouping key must be the 32-byte hash, never the raw
+    line text (narrow-shuffle contract, same as the URL-seen path)."""
+    plan = _plan(E.queries()["q61_line_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the count-side exchange partitions on the md5 key column
+    assert "lh" in plan and "hashpartitioning(lh" in plan
+
+
+def test_redirect_walk_no_cartesian_no_global_window(spark):
+    """q64: 8 bounded hops = equality joins only; the final ranking is
+    the oracle's concern (the Spark side never materializes the walk
+    table, so no window at all)."""
+    plan = _plan(E.queries()["q64_redirect_resolve"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_recrawl_interval_window_is_url_partitioned(spark):
+    """q63's LAG window must be partitioned by url_id — a global
+    single-partition window would serialize the 10^10-url history."""
+    plan = _plan(E.queries()["q63_recrawl_interval"](spark, SF))
+    assert "Window" in plan
+    assert "partitionBy=[url_id" in plan.replace(" ", "") or "url_id" in plan

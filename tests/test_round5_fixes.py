@@ -917,3 +917,58 @@ def test_charset_decode_spark_e2e(spark):
     assert out[3]["charset"] == "utf-8-sig" and out[3]["text"] == "bom text"
     assert out[4]["charset"] == "cp1252" and out[4]["text"] == "café"
     assert out[5]["text"] == ""
+
+
+# ---------------------------------------------------------------------
+# composed webtext curation pipeline (plans/webtext.py)
+# ---------------------------------------------------------------------
+def test_curate_funnel(spark):
+    import hashlib
+
+    from dart_xbrl_crawler_spark.plans.webtext import curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    rep = " ".join(["spam ham"] * 40)            # top-bigram degenerate
+    dup8 = " ".join(f"d{i}" for i in range(8))
+    repl = f"{dup8} {dup8} {dup8} {dup8}"        # duplicate-line degenerate
+    rows = [
+        ("https://a.ex/1", "2026-01-01", None, good, "en"),
+        ("https://a.ex/2", "2026-01-01", None, good, "en"),        # exact dup
+        ("https://a.ex/3", "2026-01-01", None, rep, "en"),         # quality-drop
+        ("https://a.ex/4", "2026-01-01", None, repl, "en"),        # quality-drop
+        ("https://a.ex/5", "2026-01-01", None, "too short", "en"), # min_words
+        ("https://b.ex/6", "2026-01-01",
+         b'<meta charset="euc-kr">'
+         + "한국 문서 자료 하나 둘 셋 넷 다섯".encode("euc-kr"),
+         None, None),                                              # decode path
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        schema="url string, warc_ts string, html binary, text string, lang string",
+    )
+    curated, stats = curate(pages, min_words=5)
+    got = {r["url"]: r for r in curated.collect()}
+    st = {r["stage"]: r["rows"] for r in stats.collect()}
+
+    assert st["input"] == 6 and st["decoded"] == 6
+    assert st["quality_pass"] == 3          # rows 3,4,5 fail quality
+    assert st["deduped"] == 2 and st["curated"] == 2
+    assert set(got) == {"https://a.ex/1", "https://b.ex/6"}  # min-url canonical
+    assert got["https://b.ex/6"]["charset"] == "euc-kr"
+    assert got["https://a.ex/1"]["charset"] == "pre-decoded"
+    assert got["https://a.ex/1"]["lang_guess"] == "en"
+    assert got["https://b.ex/6"]["lang_guess"] == "unk"
+
+    # deterministic per-lang downsample: md5(url) < threshold, q58
+    # semantics — languages without a threshold are untouched
+    curated2, _ = curate(pages, min_words=5, sample_thresholds={"en": "8"})
+    kept = {r["url"] for r in curated2.collect()}
+    en_kept = {
+        u
+        for u in ("https://a.ex/1",)
+        if hashlib.md5(u.encode()).hexdigest() < "8"
+    }
+    assert kept == en_kept | {"https://b.ex/6"}
+    # and a rerun keeps the identical rows (no RNG anywhere)
+    curated3, _ = curate(pages, min_words=5, sample_thresholds={"en": "8"})
+    assert {r["url"] for r in curated3.collect()} == kept
