@@ -2081,3 +2081,29 @@ def q64(spark, sf):
         )
         .orderBy("src")
     )
+
+
+# =====================================================================
+# BPE vocabulary induction — the tokenizer-training step
+# (operators/bpe.py).  Rows-only by design: the merge loop is
+# iterative (argmax → rewrite → recount), not SQL; the local gate pins
+# the strongest property instead — the full merge list equals an
+# independent single-process reference implementation over the same
+# corpus, and is invariant under repartitioning.  Scale: the loop runs
+# on the distinct-word frequency table (one corpus pass, then ~10^7
+# rows for web text no matter how many TB feed it); pair counting is
+# pure Catalyst, one driver row per iteration.
+# =====================================================================
+@query("q65_bpe_vocab", None)
+def q65(spark, sf):
+    from ..operators.bpe import train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d, n_merges=8)
+    return spark.createDataFrame(
+        [
+            (i, a, b, a + b, cnt)
+            for i, (a, b, cnt) in enumerate(merges)
+        ],
+        schema="rank long, left string, right string, merged string, cnt long",
+    )

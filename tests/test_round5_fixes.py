@@ -972,3 +972,106 @@ def test_curate_funnel(spark):
     # and a rerun keeps the identical rows (no RNG anywhere)
     curated3, _ = curate(pages, min_words=5, sample_thresholds={"en": "8"})
     assert {r["url"] for r in curated3.collect()} == kept
+
+
+# ---------------------------------------------------------------------
+# distributed BPE vocabulary induction (operators/bpe.py)
+# ---------------------------------------------------------------------
+def _ref_bpe(word_freqs, n_merges, min_pair_count=2):
+    """Independent single-process reference: word-frequency BPE with
+    the same tie-break (max count, then lexicographically smallest)."""
+    words = [(list(w), n) for w, n in word_freqs.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        nxt = []
+        for syms, n in words:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, n))
+        words = nxt
+    return merges
+
+
+def _ref_encode(word, ranks):
+    syms = list(word)
+    while len(syms) >= 2:
+        cands = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cands:
+            break
+        _, i = min(cands)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return len(syms)
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from dart_xbrl_crawler_spark.operators.bpe import apply_bpe, train_bpe
+
+    texts = [
+        "low low low lower lower lowest",
+        "new new newer newer newest newest",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    wf = Counter(w for t in texts for w in t.split())
+    expect = _ref_bpe(dict(wf), n_merges=12)
+    got = train_bpe(docs, n_merges=12)
+    assert got == expect
+    # merges actually merged something meaningful
+    assert len(got) >= 5 and got[0][2] == max(m[2] for m in got)
+
+    # apply: per-doc token counts equal the reference encode
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(got)}
+    counts = {r["doc_id"]: r["n_tokens"] for r in apply_bpe(docs, got).collect()}
+    for i, t in enumerate(texts):
+        assert counts[i] == sum(_ref_encode(w, ranks) for w in t.split())
+
+
+def test_bpe_on_corpus_deterministic(spark):
+    """8 merges over the sf0.001 documents table equal the independent
+    reference run over the same parquet — and a second Spark run (other
+    partitioning) returns the identical list."""
+    from collections import Counter
+
+    import duckdb
+
+    from dart_xbrl_crawler_spark.operators.bpe import train_bpe
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = train_bpe(docs, n_merges=8)
+
+    rows = duckdb.sql(
+        f"select text from '{sf}/documents.parquet'"
+    ).fetchall()
+    wf = Counter(w for (t,) in rows for w in (t or "").split())
+    assert got == _ref_bpe(dict(wf), n_merges=8)
+
+    again = train_bpe(docs.repartition(13), n_merges=8)
+    assert again == got
