@@ -30,6 +30,11 @@ Subcommands (each one pure DataFrame job over the frontier store):
       hashes also leave the seen filter (urls can resurrect)
   status --store <dir>
       frontier state counts from the latest snapshot
+  curate --pages <parquet> --out <dir> [--min-words N]
+      [--max-dup-line-frac F] [--max-top-bigram-frac F]
+      [--sample lang=hexceil ...] [--stats-out <dir>]
+      composed webtext curation (decode -> lang-ID -> quality gate ->
+      exact dedup -> per-lang hash downsample) over the input contract
 
 This replaces the reference's Lambda/argparse drivers
 (/root/reference/lambda_function.py:122-174,
@@ -114,6 +119,21 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("status")
     s.add_argument("--store", required=True)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--pages", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--stats-out", default=None)
+    cu.add_argument("--min-words", type=int, default=5)
+    cu.add_argument("--max-dup-line-frac", type=float, default=0.3)
+    cu.add_argument("--max-top-bigram-frac", type=float, default=0.2)
+    cu.add_argument(
+        "--sample",
+        action="append",
+        default=[],
+        metavar="LANG=HEXCEIL",
+        help="per-language md5 keep threshold, e.g. en=4 (~25%%)",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(f"cli-{args.cmd}")
@@ -202,6 +222,22 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "status":
         store = FrontierStore(args.store)
         print(json.dumps(store.state_counts(spark)))
+    elif args.cmd == "curate":
+        from .plans.webtext import curate
+
+        thresholds = dict(kv.split("=", 1) for kv in args.sample)
+        corpus, stats = curate(
+            spark.read.parquet(args.pages),
+            min_words=args.min_words,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_bigram_frac=args.max_top_bigram_frac,
+            sample_thresholds=thresholds or None,
+        )
+        corpus.write.mode("overwrite").parquet(args.out)
+        funnel = {r["stage"]: r["rows"] for r in stats.collect()}
+        if args.stats_out:
+            stats.write.mode("overwrite").parquet(args.stats_out)
+        print(json.dumps({"out": args.out, "funnel": funnel}))
     spark.stop()
     return 0
 
