@@ -98,6 +98,19 @@ def sniff_charset(data: bytes) -> str:
         codec = _ALIASES.get(label)
         if codec:
             return codec
+    # BOM-less UTF-16 passes strict UTF-8 validation (ASCII + NUL is
+    # valid UTF-8) and would decode to NUL-ridden garbage — detect it
+    # by the NUL stripe: mostly-ASCII UTF-16 has ~half its bytes NUL,
+    # at even offsets for BE (high byte first) and odd for LE
+    head = data[: 256 & ~1]
+    if head:
+        even = head[0::2].count(0)
+        odd = head[1::2].count(0)
+        half = len(head) // 2
+        if even > half * 3 // 4 and odd == 0:
+            return "utf-16-be"
+        if odd > half * 3 // 4 and even == 0:
+            return "utf-16-le"
     try:
         data.decode("utf-8", "strict")
         return "utf-8"
@@ -109,8 +122,16 @@ def decode_bytes(data: bytes | None) -> tuple[str, str]:
     """(charset, text) for one payload; never raises."""
     if data is None:
         return ("utf-8", "")
-    codec = sniff_charset(bytes(data))
-    return (codec, bytes(data).decode(codec, "replace"))
+    raw = bytes(data)
+    codec = sniff_charset(raw)
+    # endian-specific UTF-16/32 codecs decode the BOM to a literal
+    # U+FEFF (only utf-8-sig strips it) — drop the marker bytes so BOM
+    # and BOM-less payloads of the same text decode identically
+    for bom, bom_codec in _BOMS:
+        if codec == bom_codec and raw.startswith(bom):
+            raw = raw[len(bom):]
+            break
+    return (codec, raw.decode(codec, "replace"))
 
 
 def decode_html(

@@ -2107,3 +2107,74 @@ def q65(spark, sf):
         ],
         schema="rank long, left string, right string, merged string, cnt long",
     )
+
+
+# =====================================================================
+# WET-style visible-text extraction (functions/wet.py) — the
+# Common-Crawl html→text step: script/style/comment blocks removed
+# wholly, tags → space, core entities decoded, whitespace collapsed.
+# Pure chained regexp_replace in whole-stage codegen; the oracle runs
+# the IDENTICAL regex chain in DuckDB ('g' flag = Spark's replace-all
+# default), so the parity gate pins every rule.  Pages are synthesized
+# from orders with script/style/comment/entity plantings.
+# =====================================================================
+@query(
+    "q66_wet_extract",
+    r"""
+    WITH pages AS (
+      SELECT o_orderkey AS page_id,
+             '<html><head><title>T' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '</title><style>p { color: red }</style>'
+               || '<script type="text/javascript">var x = 1 < 2;</script>'
+               || '</head><body><!-- hidden ' || CAST(o_orderkey % 5 AS VARCHAR)
+               || ' --><h1>Heading&nbsp;' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '</h1><p>A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s</p>'
+               || '<div>word' || CAST(o_orderkey % 11 AS VARCHAR)
+               || '</div></body></html>' AS html_text
+      FROM orders WHERE o_orderkey % 6 = 0)
+    SELECT page_id,
+           trim(regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(html_text,
+                        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' ', 'g'),
+                   '&amp;', '&', 'g'),
+                  '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'),
+               '&#0*39;', chr(39), 'g'),
+              '&apos;', chr(39), 'g'),
+             '\s+', ' ', 'g')) AS text
+    FROM pages ORDER BY page_id
+    """,
+)
+def q66(spark, sf):
+    from ..functions.wet import strip_markup
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 6 == 0)
+    html = F.concat(
+        F.lit("<html><head><title>T"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</title><style>p { color: red }</style>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("</head><body><!-- hidden "), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(" --><h1>Heading&nbsp;"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("</h1><p>A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s</p>"),
+        F.lit("<div>word"), (F.col("o_orderkey") % 11).cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    pages = o.select(F.col("o_orderkey").alias("page_id"), html.alias("html_text"))
+    return pages.select("page_id", strip_markup("html_text").alias("text")).orderBy(
+        "page_id"
+    )

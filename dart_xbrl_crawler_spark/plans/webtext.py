@@ -94,13 +94,16 @@ def curate(
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     sample_thresholds: dict[str, str] | None = None,
+    strip_markup_decoded: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (curated corpus, per-stage funnel stats), both lazy.
 
     ``pages`` carries the input contract (url, warc_ts, html, text,
     lang); ``sample_thresholds`` maps lang → md5 hex prefix threshold
     (q58 semantics: keep iff md5(url) < threshold; default keeps
-    everything).
+    everything).  ``strip_markup_decoded`` runs the WET tag-strip over
+    rows decoded from html (rows arriving with text are trusted as
+    already extracted and never restripped).
     """
     # 1. decode only the rows that need it — the common crawl case is
     # text already extracted upstream; html-only rows pay the python
@@ -112,7 +115,12 @@ def curate(
     needs = pages.filter(~has_text).drop("text")
     # union unconditionally: an empty `needs` side costs nothing at run
     # time, and probing it here (isEmpty) would scan the input twice
-    decoded = ready.unionByName(decode_html(needs), allowMissingColumns=False)
+    from_html = decode_html(needs)
+    if strip_markup_decoded:
+        from ..functions.wet import strip_markup
+
+        from_html = from_html.withColumn("text", strip_markup("text"))
+    decoded = ready.unionByName(from_html, allowMissingColumns=False)
 
     # 2-3. language + quality, all map-only
     n_words, dup_line, top_bg = repetition_cols()

@@ -894,6 +894,21 @@ def test_charset_decode_byte_identity():
         assert text == payload.decode(codec)
     assert decode_bytes(None) == ("utf-8", "")
     assert decode_bytes(b"") == ("utf-8", "")
+    # BOM markers never leak into the text (endian-specific UTF-16/32
+    # codecs would otherwise decode them to a literal U+FEFF)
+    for payload in (
+        "x y z".encode("utf-8-sig"),
+        "x y z".encode("utf-16"),          # python emits LE + BOM
+        b"\xfe\xff" + "x y z".encode("utf-16-be"),
+        b"\xff\xfe\x00\x00" + "x y z".encode("utf-32-le"),
+    ):
+        codec, text = decode_bytes(payload)
+        assert text == "x y z", (payload[:4], codec, text)
+    # BOM-less UTF-16 must not pass as NUL-ridden "valid UTF-8":
+    # the NUL-stripe heuristic picks the endianness
+    for enc in ("utf-16-le", "utf-16-be"):
+        codec, text = decode_bytes("just ascii words here now ok".encode(enc))
+        assert codec == enc and text == "just ascii words here now ok"
     # replacement, never a throw, on truncated multibyte sequences
     codec, text = decode_bytes(b'<meta charset="euc-kr">\xb0')
     assert codec == "euc-kr" and "�" in text
@@ -955,6 +970,10 @@ def test_curate_funnel(spark):
     assert st["deduped"] == 2 and st["curated"] == 2
     assert set(got) == {"https://a.ex/1", "https://b.ex/6"}  # min-url canonical
     assert got["https://b.ex/6"]["charset"] == "euc-kr"
+    # the WET strip removed the <meta> tag before word counting: only
+    # the 8 Korean words remain
+    assert got["https://b.ex/6"]["text"].startswith("한국")
+    assert got["https://b.ex/6"]["n_words"] == 8
     assert got["https://a.ex/1"]["charset"] == "pre-decoded"
     assert got["https://a.ex/1"]["lang_guess"] == "en"
     assert got["https://b.ex/6"]["lang_guess"] == "unk"
