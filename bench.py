@@ -22,7 +22,15 @@ against the fastest hi — co-tenant contention only ever SLOWS a leg,
 so min-wall per side is the best estimate of the engine's true time at
 that parallelism, and a slow HI window is the one failure mode that
 UNDERSTATES efficiency; hence retries re-run hi legs until the metric
-crosses 0.8 or the budget runs out.  Each leg is health-gated first
+crosses 0.8 or the budget runs out.  The converse failure also exists
+and is guarded (a campaign once read "1.296"): contention during the
+LO window OVERSTATES the ratio, so an attempt above the plausibility
+ceiling (SPARK_GRAFT_SCALE_CEIL, default 1.1 — mild super-linearity
+from the 4× aggregate heap is real, 30% is not) never satisfies the
+loop, ranks below any plausible attempt, schedules LO re-measurement
+legs (min-lo falls monotonically as cleaner windows land), and is
+flagged `implausible_lo` in the artifact if the budget dies first.
+Each leg is health-gated first
 (alloc-burn speedup ≥ 3.7 preferred — measured on this box, a window
 below that predicts a sub-0.8 campaign; ≥ 3.0 accepted when waiting
 would eat the budget needed for a first full pair).
@@ -296,6 +304,13 @@ def main() -> None:
     # retry-until target for the campaign (north_rule: ≥ 0.8); overridable
     # so tests can force the retry path without a degraded box
     scale_target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
+    # plausibility ceiling: contention on the LO leg OVERSTATES the
+    # ratio (a steal burst during the 2-core window once produced a
+    # "1.296" campaign); mild super-linearity is real (bigger aggregate
+    # heap at 4N → less GC, ext legs read ~1.09 on clean boxes) but a
+    # composed efficiency above this is a contaminated lo measurement,
+    # not engine behavior — keep re-measuring LO until it drops back
+    eff_ceil = float(os.environ.get("SPARK_GRAFT_SCALE_CEIL", "1.1"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
     from dart_xbrl_crawler_spark.plans import bench_support as B
@@ -442,6 +457,9 @@ def main() -> None:
     # the scheduler never starts a leg the budget can't finish
     cost_est = {"hi": 110.0, "lo": 230.0}
 
+    def _better(new: float, old: float) -> bool:
+        return _better_eff(new, old, eff_ceil)
+
     def _rescore() -> None:
         """Score the fastest lo against the fastest hi of the current
         quantum.  Contention only ever SLOWS a leg, so min-wall per
@@ -455,25 +473,40 @@ def main() -> None:
         hi_c = min(legs_hi, key=_t_total)
         lo_c = min(legs_lo, key=_t_total)
         eff = (_t_total(lo_c) / _t_total(hi_c)) / 4.0
-        if eff > best_eff:
+        if _better(eff, best_eff):
             best_eff, lo, hi = eff, lo_c, hi_c
             best_q = quanta[q_idx][:3]
         throughput["scaling"] = _scaling_block(
-            cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, {}, best_q
+            cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, {}, best_q,
+            eff_ceil,
         )
         _emit(_result(throughput))
 
     try:
         timeouts_at_quantum = 0
-        while best_eff < scale_target:
+        while best_eff < scale_target or best_eff > eff_ceil:
             q_urls, q_pop, q_docs, cap_hi, cap_lo = quanta[q_idx]
             q_pages = pages_dirs[q_docs]
             quantum = (q_urls, q_pop, q_docs)
             # next leg: first hi (it adopts the headline), then lo to
             # complete the pair, then hi retries — a slow hi window is
-            # the one failure mode that UNDERSTATES efficiency, so hi
-            # is the leg worth re-measuring (min-lo is already held)
-            leg = "hi" if (not legs_hi or legs_lo) else "lo"
+            # the failure mode that UNDERSTATES efficiency, so hi is
+            # normally the leg worth re-measuring (min-lo is already
+            # held).  EXCEPT when the current pair reads implausibly
+            # super-linear: that means the held min-lo itself ran in a
+            # contaminated window (slow 2-core leg inflates the ratio),
+            # and only a cleaner LO re-measurement can fix it.
+            if not legs_hi:
+                leg = "hi"
+            elif not legs_lo:
+                leg = "lo"
+            elif (
+                _t_total(min(legs_lo, key=_t_total))
+                / _t_total(min(legs_hi, key=_t_total))
+            ) / 4.0 > eff_ceil:
+                leg = "lo"
+            else:
+                leg = "hi"
             # budget the campaign still NEEDS after any waiting: the
             # legs without which there is no campaign at all (first hi,
             # first lo — including the leg about to run)
@@ -559,11 +592,26 @@ def main() -> None:
 
     calib = _cpu_calibration(cores_lo, cores_hi) if _remaining() > 30 else {}
     throughput["scaling"] = _scaling_block(
-        cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, calib, best_q
+        cores_lo, cores_hi, lo, hi, attempts_run, steal_pct, calib, best_q,
+        eff_ceil,
     )
     timings["scaling_lo"] = round(_t_total(lo), 3)
     timings["scaling_hi"] = round(_t_total(hi), 3)
     _emit(_result(throughput))
+
+
+def _better_eff(new: float, old: float, eff_ceil: float) -> bool:
+    """Campaign ranking with the plausibility ceiling: any pair beats
+    no pair (old < 0 sentinel); a plausible efficiency always beats an
+    implausible one; among plausible, higher is better; among
+    implausible (> eff_ceil, i.e. a contaminated lo leg inflating the
+    ratio), LOWER is better — it is the one closest to the truth."""
+    if old < 0.0:
+        return True
+    new_ok, old_ok = new <= eff_ceil, old <= eff_ceil
+    if new_ok != old_ok:
+        return new_ok
+    return new > old if new_ok else new < old
 
 
 def _scaling_block(
@@ -575,6 +623,7 @@ def _scaling_block(
     steal_pct,
     calib: dict,
     quantum: tuple | None = None,
+    eff_ceil: float | None = None,
 ) -> dict:
     t_lo, t_hi = _t_total(lo), _t_total(hi)
     q = (
@@ -598,6 +647,14 @@ def _scaling_block(
         "efficiency_pop": round((lo["t_pop"] / hi["t_pop"]) / 4.0, 3),
         "efficiency_ext": round((lo["t_ext"] / hi["t_ext"]) / 4.0, 3),
         "efficiency_vs_alloc_ceiling": round((t_lo / t_hi) / ceiling, 3),
+        # flagged, never silently shipped: a composed ratio above the
+        # plausibility ceiling means the lo leg ran contaminated and
+        # the campaign could not re-measure it within budget
+        **(
+            {"implausible_lo": True}
+            if eff_ceil is not None and (t_lo / t_hi) / 4.0 > eff_ceil
+            else {}
+        ),
         "attempts": attempts,
         "steal_pct_during_scaling": steal_pct,
         "health_sp_lo": lo.get("health_sp"),

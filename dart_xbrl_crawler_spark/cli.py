@@ -30,7 +30,7 @@ Subcommands (each one pure DataFrame job over the frontier store):
       hashes also leave the seen filter (urls can resurrect)
   status --store <dir>
       frontier state counts from the latest snapshot
-  curate --pages <parquet> --out <dir> [--min-words N]
+  curate --pages <parquet> --out <dir> [--min-words N] [--redact-pii]
       [--max-dup-line-frac F] [--max-top-bigram-frac F]
       [--sample lang=hexceil ...] [--stats-out <dir>]
       composed webtext curation (decode -> lang-ID -> quality gate ->
@@ -134,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
         metavar="LANG=HEXCEIL",
         help="per-language md5 keep threshold, e.g. en=4 (~25%%)",
     )
+    cu.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="scrub emails/IPv4/+phones to tags on surviving rows",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(f"cli-{args.cmd}")
@@ -232,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_bigram_frac=args.max_top_bigram_frac,
             sample_thresholds=thresholds or None,
+            redact=args.redact_pii,
         )
         corpus.write.mode("overwrite").parquet(args.out)
         funnel = {r["stage"]: r["rows"] for r in stats.collect()}

@@ -2178,3 +2178,69 @@ def q66(spark, sf):
     return pages.select("page_id", strip_markup("html_text").alias("text")).orderBy(
         "page_id"
     )
+
+
+# =====================================================================
+# PII redaction (functions/pii.py) — the C4/CCNet pre-training scrub:
+# emails / IPv4 / international phones → tags, chained regexp_replace
+# restricted to Java-regex ∩ RE2 syntax so the DuckDB oracle pins each
+# rule byte-exactly.  Flags are computed on the ORIGINAL text (audit
+# contract); redaction order email → ip → phone is part of the
+# contract and exercised by the plantings (dotted quads would feed the
+# phone rule's digit groups if reordered).
+# =====================================================================
+@query(
+    "q67_pii_redact",
+    r"""
+    WITH pages AS (
+      SELECT o_orderkey AS page_id,
+             'User u' || CAST(o_orderkey % 7 AS VARCHAR)
+               || ' mail u' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '@ex' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '.org ip 10.0.' || CAST(o_orderkey % 5 AS VARCHAR)
+               || '.' || CAST(o_orderkey % 9 AS VARCHAR)
+               || ' call +82 010-12' || CAST(o_orderkey % 10 AS VARCHAR)
+               || '4-5678 ver v1.' || CAST(o_orderkey % 4 AS VARCHAR)
+               || ' price $42' AS text
+      FROM orders WHERE o_orderkey % 6 = 1)
+    SELECT page_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}[ -]?\d{3}[ -]?\d{3,4}[ -]?\d{4}\b',
+             '<PHONE>', 'g') AS text,
+           regexp_matches(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+           regexp_matches(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS has_ip,
+           regexp_matches(text,
+             '\+\d{1,2}[ -]?\d{3}[ -]?\d{3,4}[ -]?\d{4}\b') AS has_phone
+    FROM pages ORDER BY page_id
+    """,
+)
+def q67(spark, sf):
+    from ..functions.pii import pii_flags, redact_pii
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 6 == 1)
+    text = F.concat(
+        F.lit("User u"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(" mail u"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("@ex"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit(".org ip 10.0."), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("."), (F.col("o_orderkey") % 9).cast("string"),
+        F.lit(" call +82 010-12"), (F.col("o_orderkey") % 10).cast("string"),
+        F.lit("4-5678 ver v1."), (F.col("o_orderkey") % 4).cast("string"),
+        F.lit(" price $42"),
+    )
+    pages = o.select(F.col("o_orderkey").alias("page_id"), text.alias("text"))
+    flags = pii_flags("text")
+    return pages.select(
+        "page_id",
+        redact_pii("text").alias("text"),
+        flags["has_email"].alias("has_email"),
+        flags["has_ip"].alias("has_ip"),
+        flags["has_phone"].alias("has_phone"),
+    ).orderBy("page_id")

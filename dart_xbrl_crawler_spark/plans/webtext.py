@@ -95,6 +95,7 @@ def curate(
     max_top_bigram_frac: float = 0.2,
     sample_thresholds: dict[str, str] | None = None,
     strip_markup_decoded: bool = True,
+    redact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (curated corpus, per-stage funnel stats), both lazy.
 
@@ -103,7 +104,10 @@ def curate(
     (q58 semantics: keep iff md5(url) < threshold; default keeps
     everything).  ``strip_markup_decoded`` runs the WET tag-strip over
     rows decoded from html (rows arriving with text are trusted as
-    already extracted and never restripped).
+    already extracted and never restripped).  ``redact`` (a policy
+    choice, so opt-in) scrubs emails/IPv4/+phones to tags on the FINAL
+    surviving rows — after dedup, so md5-identity still keys on source
+    text and only kept rows pay the pass.
     """
     # 1. decode only the rows that need it — the common crawl case is
     # text already extracted upstream; html-only rows pay the python
@@ -160,6 +164,12 @@ def curate(
         curated = deduped.filter(thr.isNull() | (F.md5("url") < thr))
     else:
         curated = deduped
+
+    # 6. optional PII scrub, map-only on the survivors
+    if redact:
+        from ..functions.pii import redact_pii
+
+        curated = curated.withColumn("text", redact_pii("text"))
 
     def _n(df: DataFrame, stage: str) -> DataFrame:
         return df.groupBy().agg(

@@ -992,6 +992,21 @@ def test_curate_funnel(spark):
     curated3, _ = curate(pages, min_words=5, sample_thresholds={"en": "8"})
     assert {r["url"] for r in curated3.collect()} == kept
 
+    # opt-in PII scrub runs AFTER dedup on survivors only: the two
+    # email-bearing duplicates still collapse on their source text,
+    # and the canonical copy comes out redacted
+    pii_rows = [
+        ("https://c.ex/1", "2026-01-01", None, good + " write bob@ex.org now", "en"),
+        ("https://c.ex/2", "2026-01-01", None, good + " write bob@ex.org now", "en"),
+    ]
+    curated4, stats4 = curate(
+        spark.createDataFrame(pii_rows, schema=pages.schema), redact=True
+    )
+    r4 = curated4.collect()
+    st4 = {r["stage"]: r["rows"] for r in stats4.collect()}
+    assert st4["deduped"] == 1 and len(r4) == 1
+    assert r4[0]["text"].endswith("write <EMAIL> now")
+
 
 # ---------------------------------------------------------------------
 # distributed BPE vocabulary induction (operators/bpe.py)
@@ -1094,3 +1109,94 @@ def test_bpe_on_corpus_deterministic(spark):
 
     again = train_bpe(docs.repartition(13), n_merges=8)
     assert again == got
+
+
+# ---------------------------------------------------------------------
+# bench plausibility guard: a contaminated 2-core leg OVERSTATES the
+# scaling ratio; the campaign must rank such attempts below any
+# plausible one and flag them in the artifact if budget runs out
+# ---------------------------------------------------------------------
+def _bench_mod():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_eff_ranking_plausibility():
+    B = _bench_mod()
+    ceil = 1.1
+    # any pair beats the no-pair sentinel, even an implausible one
+    assert B._better_eff(1.296, -1.0, ceil)
+    assert B._better_eff(0.5, -1.0, ceil)
+    # plausible always beats implausible, in both directions
+    assert B._better_eff(0.65, 1.296, ceil)
+    assert not B._better_eff(1.296, 0.65, ceil)
+    # among plausible: higher wins
+    assert B._better_eff(0.86, 0.80, ceil) and not B._better_eff(0.80, 0.86, ceil)
+    # among implausible: LOWER wins (closest to truth)
+    assert B._better_eff(1.15, 1.296, ceil) and not B._better_eff(1.296, 1.15, ceil)
+    # the ceiling itself is plausible (ext legs read ~1.09 on clean boxes)
+    assert B._better_eff(1.1, 0.9, ceil)
+
+
+def test_bench_scaling_block_flags_implausible_lo():
+    B = _bench_mod()
+
+    def leg(t):  # equal thirds across the three stages
+        return {
+            "n_ins": 1000, "t_ins": t / 3, "n_pop": 1000, "t_pop": t / 3,
+            "n_ext": 1000, "t_ext": t / 3,
+        }
+
+    # 2-core leg 5.2x the 8-core leg -> composed 1.3 > ceiling: flagged
+    blk = B._scaling_block(2, 8, leg(52.0), leg(10.0), 3, 1.0, {}, None, 1.1)
+    assert blk["efficiency"] == 1.3 and blk["implausible_lo"] is True
+    # a clean 0.85 pair carries no flag at all
+    blk = B._scaling_block(2, 8, leg(34.0), leg(10.0), 3, 1.0, {}, None, 1.1)
+    assert blk["efficiency"] == 0.85 and "implausible_lo" not in blk
+    # no ceiling passed (legacy call): never flagged
+    blk = B._scaling_block(2, 8, leg(52.0), leg(10.0), 3, 1.0, {}, None)
+    assert "implausible_lo" not in blk
+
+
+# ---------------------------------------------------------------------
+# PII redaction (functions/pii.py): conservative contract — the
+# redactor must hit emails/IPv4/+phones and MUST NOT eat version
+# strings, prices, or bare digit runs (training data preservation)
+# ---------------------------------------------------------------------
+def test_pii_redaction_contract(spark):
+    from dart_xbrl_crawler_spark.functions.pii import pii_flags, redact_pii
+
+    cases = [
+        ("mail me at jo.doe+x@sub.ex-2.co.uk today", "mail me at <EMAIL> today"),
+        ("server 192.168.10.7 is up", "server <IP> is up"),
+        ("call +82 010-1234-5678 or +1 555 867 5309", "call <PHONE> or <PHONE>"),
+        # negatives: version, price, bare digits, partial quad
+        ("v1.2.3 costs $1,234 ref 5551234567 at 10.0.1", None),
+        # order contract: the quad is gone before the phone rule sees it
+        ("+10 100.100.1000.1 end", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    flags = pii_flags("text")
+    got = {
+        r["text"]: r
+        for r in df.select(
+            "text",
+            redact_pii("text").alias("red"),
+            *[flags[k].alias(k) for k in ("has_email", "has_ip", "has_phone")],
+        ).collect()
+    }
+    for t, want in cases:
+        red = got[t]["red"]
+        assert red == (want if want is not None else t), (t, red)
+    assert got[cases[0][0]]["has_email"] and not got[cases[0][0]]["has_ip"]
+    assert got[cases[3][0]]["has_email"] is False
+    assert got[cases[3][0]]["has_ip"] is False
+    assert got[cases[3][0]]["has_phone"] is False
