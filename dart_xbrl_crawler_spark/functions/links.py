@@ -29,6 +29,38 @@ _HREF_RES = (
     r"""(?i)href\s*=\s*([^\s>"'#][^\s>]*)""",
 )
 
+# hrefs inside an <a> whose rel contains the nofollow token, both
+# attribute orders × both href quote styles (an unquoted-href anchor
+# that ALSO carries rel="nofollow" is outside the regex-honesty
+# contract, like nested-anchor markup is for extract_anchor_texts)
+_NOFOLLOW_HREF_RES = (
+    r'(?is)<a\b[^>]*rel\s*=\s*["\'][^"\']*nofollow[^"\']*["\'][^>]*href\s*=\s*"([^"#][^"]*)"',
+    r"(?is)<a\b[^>]*rel\s*=\s*[\"'][^\"']*nofollow[^\"']*[\"'][^>]*href\s*=\s*'([^'#][^']*)'",
+    r'(?is)<a\b[^>]*href\s*=\s*"([^"#][^"]*)"[^>]*rel\s*=\s*["\'][^"\']*nofollow[^"\']*["\']',
+    r"(?is)<a\b[^>]*href\s*=\s*'([^'#][^']*)'[^>]*rel\s*=\s*[\"'][^\"']*nofollow[^\"']*[\"']",
+)
+
+
+def meta_robots_flags(html_text: Column) -> dict[str, Column]:
+    """Page-level ``<meta name="robots">`` directives (RFC 9309's html
+    companion, the part CCBot/Nutch honor): ``nofollow`` — contribute
+    no outlinks; ``noindex`` — crawl but keep out of content sinks.
+    Either attribute order, any quote style, token anywhere in the
+    comma list.  Pure ``rlike`` — stays in codegen."""
+
+    def _has(tok: str) -> Column:
+        name_first = (
+            r'(?is)<meta\b[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
+            r'content\s*=\s*["\'][^"\']*' + tok + r'[^"\']*["\']'
+        )
+        content_first = (
+            r'(?is)<meta\b[^>]*content\s*=\s*["\'][^"\']*' + tok +
+            r'[^"\']*["\'][^>]*name\s*=\s*["\']?robots["\']?'
+        )
+        return html_text.rlike(name_first) | html_text.rlike(content_first)
+
+    return {"nofollow": _has("nofollow"), "noindex": _has("noindex")}
+
 
 _MAX_DOT_DEPTH = 8
 
@@ -81,6 +113,7 @@ def extract_links(
     pages: DataFrame,
     html_col: str = "html",
     carry: tuple[str, ...] = (),
+    respect_nofollow: bool = False,
 ) -> DataFrame:
     """pages(url, html, …) → (src_url, link): distinct absolute links
     per page, resolved against the page url.  Pure expressions.
@@ -89,7 +122,11 @@ def extract_links(
     narrow; the href regex walk happens inside codegen.  ``carry``
     names extra page columns passed through per output row (e.g. the
     parent's priority for inheritance) — cheaper than a join-back on
-    src_url after the explode."""
+    src_url after the explode.  ``respect_nofollow`` applies the
+    robots html companion: a page whose ``<meta name="robots">``
+    carries ``nofollow`` contributes no links, and an href whose
+    anchor carries ``rel="…nofollow…"`` is dropped (every copy of
+    that href string on the page — the conservative reading)."""
     from .urls import with_url_canon
 
     keep = [
@@ -116,6 +153,17 @@ def extract_links(
             for p in _HREF_RES
         ]
     )
+    if respect_nofollow:
+        nofollow = F.concat(
+            *[
+                F.regexp_extract_all(html_text, F.lit(p), F.lit(1))
+                for p in _NOFOLLOW_HREF_RES
+            ]
+        )
+        hrefs = F.when(
+            meta_robots_flags(html_text)["nofollow"],
+            F.array().cast("array<string>"),
+        ).otherwise(F.array_except(hrefs, nofollow))
     resolved = F.array_distinct(
         F.filter(
             F.transform(

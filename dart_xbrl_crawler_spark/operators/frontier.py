@@ -632,6 +632,7 @@ class FrontierStore:
         backoff_factor: float | None = None,
         priority_decay: float = 1.0,
         broadcast_robots: bool = True,
+        respect_nofollow: bool = True,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -646,7 +647,11 @@ class FrontierStore:
         priority_decay`` over all parents seen this round, so a
         high-priority seed's frontier subtree outranks a low-priority
         seed's at every depth instead of degenerating to flat 0.0
-        (insertion-order popping)."""
+        (insertion-order popping).
+
+        ``respect_nofollow`` (default on, like CCBot/Nutch) honors the
+        robots html companion during discovery: meta-robots-nofollow
+        pages contribute no links, rel="nofollow" hrefs are dropped."""
         from ..functions.links import extract_links
 
         summaries: list[dict] = []
@@ -655,7 +660,7 @@ class FrontierStore:
                 spark, pages, robots, run_ts, max_rounds, round_ms,
                 salt_buckets, max_per_host, n_partitions, discover,
                 text_out, backoff_factor, priority_decay, extract_links,
-                summaries, broadcast_robots,
+                summaries, broadcast_robots, respect_nofollow,
             )
         finally:
             self.release()
@@ -665,7 +670,7 @@ class FrontierStore:
         self, spark, pages, robots, run_ts, max_rounds, round_ms,
         salt_buckets, max_per_host, n_partitions, discover, text_out,
         backoff_factor, priority_decay, extract_links, summaries,
-        broadcast_robots=True,
+        broadcast_robots=True, respect_nofollow=True,
     ) -> None:
         for rid in range(max_rounds):
             # compact the metrics chains BETWEEN rounds, never inside
@@ -715,10 +720,20 @@ class FrontierStore:
                 # crawl-then-process orchestration): per-round text
                 # extraction appended to a parquet sink.  ZIP payloads
                 # run the XBRL kernel; generic html gets stripped text.
+                # meta-robots-noindex pages are crawled (their links
+                # still feed discovery) but stay out of the content sink
                 from . import extract as X
+                from ..functions.links import meta_robots_flags
 
+                sink_pages = fetched_pages
+                if respect_nofollow:
+                    sink_pages = sink_pages.filter(
+                        ~meta_robots_flags(F.decode("html", "UTF-8"))[
+                            "noindex"
+                        ]
+                    )
                 X.extract_text(
-                    fetched_pages.select("url", "html")
+                    sink_pages.select("url", "html")
                     .withColumn("report_nm", F.lit(None).cast("string"))
                     .withColumn("rcept_dt", F.lit(None).cast("string")),
                     run_ts,
@@ -734,6 +749,7 @@ class FrontierStore:
                             "url", "url_canon", "host", "priority", "html"
                         ),
                         carry=("priority",),
+                        respect_nofollow=respect_nofollow,
                     )
                     .groupBy(F.col("link").alias("url"))
                     .agg(

@@ -2244,3 +2244,76 @@ def q67(spark, sf):
         flags["has_ip"].alias("has_ip"),
         flags["has_phone"].alias("has_phone"),
     ).orderBy("page_id")
+
+
+# =====================================================================
+# robots html companion in link discovery (functions/links.py
+# respect_nofollow): meta-robots-nofollow pages contribute no links,
+# rel="nofollow" anchors are dropped (both attribute orders).  The
+# oracle re-states the semantics relationally: href extraction minus
+# an anti-join on the nofollow'd href set, page-gated on the meta tag.
+# =====================================================================
+@query(
+    "q68_nofollow_links",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(o_custkey % 5 AS VARCHAR)
+               || '.ex/d/p' || CAST(o_orderkey AS VARCHAR) AS src_url,
+             'h' || CAST(o_custkey % 5 AS VARCHAR) || '.ex' AS host,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN '<meta name="robots" content="noindex, nofollow">'
+                  ELSE '' END
+               || '<a href="/keep/' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '">k</a><a rel="nofollow" href="/drop1/'
+               || CAST(o_orderkey % 3 AS VARCHAR)
+               || '">n</a><a href="/drop2/' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '" rel="ugc nofollow">m</a>' AS html
+      FROM orders WHERE o_orderkey % 10 = 2),
+    hrefs AS (
+      SELECT src_url, host,
+             UNNEST(regexp_extract_all(html, 'href="([^"#][^"]*)"', 1)) AS href
+      FROM pages
+      WHERE NOT regexp_matches(html,
+        '<meta[^>]*name="robots"[^>]*content="[^"]*nofollow')),
+    nof AS (
+      SELECT src_url, UNNEST(regexp_extract_all(html,
+        '<a[^>]*rel="[^"]*nofollow[^"]*"[^>]*href="([^"#][^"]*)"', 1)) AS href
+      FROM pages
+      UNION ALL
+      SELECT src_url, UNNEST(regexp_extract_all(html,
+        '<a[^>]*href="([^"#][^"]*)"[^>]*rel="[^"]*nofollow[^"]*"', 1)) AS href
+      FROM pages),
+    kept AS (
+      SELECT h.src_url, h.host, h.href
+      FROM hrefs h LEFT JOIN (SELECT DISTINCT * FROM nof) n
+        ON h.src_url = n.src_url AND h.href = n.href
+      WHERE n.href IS NULL)
+    SELECT src_url, 'https://' || host || href AS link
+    FROM kept ORDER BY src_url, link
+    """,
+)
+def q68(spark, sf):
+    from ..functions.links import extract_links
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 2)
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".ex/d/p"), F.col("o_orderkey").cast("string"),
+    )
+    html = F.concat(
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/keep/'), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('">k</a><a rel="nofollow" href="/drop1/'),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit('">n</a><a href="/drop2/'), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit('" rel="ugc nofollow">m</a>'),
+    )
+    pages = o.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return (
+        extract_links(pages, respect_nofollow=True)
+        .select(F.col("src_url"), F.col("link"))
+        .orderBy("src_url", "link")
+    )

@@ -1200,3 +1200,57 @@ def test_pii_redaction_contract(spark):
     assert got[cases[3][0]]["has_email"] is False
     assert got[cases[3][0]]["has_ip"] is False
     assert got[cases[3][0]]["has_phone"] is False
+
+
+# ---------------------------------------------------------------------
+# robots html companion (functions/links.py): meta robots nofollow /
+# noindex flags + rel="nofollow" href exclusion in link discovery
+# ---------------------------------------------------------------------
+def test_meta_robots_and_nofollow_links(spark):
+    from dart_xbrl_crawler_spark.functions.links import (
+        extract_links,
+        meta_robots_flags,
+    )
+
+    pages = [
+        # plain page: both links survive
+        ("https://a.ex/d/p1", '<a href="/x">x</a><a href="q.html">q</a>'),
+        # rel-before-href and href-before-rel nofollow anchors dropped,
+        # the plain anchor stays
+        ("https://a.ex/d/p2",
+         '<a rel="nofollow" href="/no1">n</a>'
+         "<a href='/no2' rel='ugc nofollow'>n</a>"
+         '<a href="/yes">y</a>'),
+        # meta nofollow page contributes nothing at all
+        ("https://a.ex/d/p3",
+         '<meta name="robots" content="noindex, nofollow">'
+         '<a href="/gone">g</a>'),
+        # content-before-name attribute order also detected
+        ("https://a.ex/d/p4",
+         "<META content='nofollow' name=robots><a href=\"/gone2\">g</a>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    links = {
+        (r["src_url"], r["link"])
+        for r in extract_links(df, respect_nofollow=True).collect()
+    }
+    assert links == {
+        ("https://a.ex/d/p1", "https://a.ex/x"),
+        ("https://a.ex/d/p1", "https://a.ex/d/q.html"),
+        ("https://a.ex/d/p2", "https://a.ex/yes"),
+    }
+    # default path is unchanged (q50/q53 contract): everything extracts
+    assert len(extract_links(df).collect()) == 7
+
+    flags = meta_robots_flags(F.decode("html", "UTF-8"))
+    got = {
+        r["url"]: (r["nf"], r["ni"])
+        for r in df.select(
+            "url", flags["nofollow"].alias("nf"), flags["noindex"].alias("ni")
+        ).collect()
+    }
+    assert got["https://a.ex/d/p1"] == (False, False)
+    assert got["https://a.ex/d/p3"] == (True, True)
+    assert got["https://a.ex/d/p4"] == (True, False)
