@@ -68,14 +68,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered entries, and a `no_oracle` query can never produce a
     # green row — so the no-oracle entries (each with a hash-green md5
     # twin or a dedicated exactness test) always register last.  With
-    # 61 oracle-backed queries, eleven must sit outside the window;
+    # 65 oracle-backed queries, fifteen must sit outside the window;
     # queries that already earned a green driver row in a prior round
     # (CORRECTNESS_r03/r04) AND keep an in-window twin or byte-identity
     # pytest gate yield their slots so every never-driver-graded query
     # gets a row this round.  Demoted twins: q29/q45 → q46/q47 kernels;
     # q06/q17 → section-min/order-0 byte-identity; q07 → union
     # byte-identity; q08 → q36's LPAD+GROUP BY; q09/q13/q14/q15 →
-    # period/map/rewrite/date byte-identity; q16 → crawl-ordering e2e.
+    # period/map/rewrite/date byte-identity; q16 → crawl-ordering e2e;
+    # q10/q11/q12 → r4 driver rows (trivial JSON/counts/distinct ops);
+    # q18 → r4 driver row + the frontier lineage-counter tests.
     # All demoted queries keep the identical local DuckDB parity gate
     # in tests/test_oracle_parity.py.
     demoted = {
@@ -84,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_month_diff_label", "q13_map_lookup",
         "q14_conditional_rewrite", "q15_date_format",
         "q16_regex_filter", "q17_order_reassign",
+        "q10_json_extract", "q11_value_counts", "q12_distinct_pairs",
+        "q18_distinct_counts",
     }
     ordered = sorted(
         catalog.Q,

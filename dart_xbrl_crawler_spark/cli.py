@@ -106,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="adaptive politeness: delay x (1 + f*fail_rate)")
     c.add_argument("--priority-decay", type=float, default=1.0,
                    help="discovered links inherit max(parent priority) - decay")
+    c.add_argument("--keep-traps", action="store_true",
+                   help="disable the crawl-trap gate on discovered links "
+                        "(depth/segment-echo/params/length rules)")
 
     r = sub.add_parser("recrawl")
     r.add_argument("--store", required=True)
@@ -207,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
             text_out=args.text_out,
             backoff_factor=args.backoff_factor,
             priority_decay=args.priority_decay,
+            drop_traps=not args.keep_traps,
         )
         print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":

@@ -41,6 +41,19 @@ _NOFOLLOW_HREF_RES = (
 )
 
 
+def decode_permissive(html_col: Column) -> Column:
+    """binary html → string without ever throwing: a crawl frontier
+    carries NON-TEXT payloads (ZIP filings, images, truncated bodies),
+    and Spark 4's ``decode(_, 'UTF-8')`` raises MALFORMED_CHARACTER_
+    CODING on the first invalid byte — one bad page would kill a whole
+    discovery round.  ``cast(binary as string)`` reinterprets the
+    bytes; ``make_valid_utf8`` repairs invalid sequences to U+FFFD
+    (browser behavior, same errors=replace contract as
+    functions/charset.py) — binary payloads simply yield no href/meta
+    matches.  Both stay in codegen."""
+    return F.make_valid_utf8(html_col.cast("string"))
+
+
 def meta_robots_flags(html_text: Column) -> dict[str, Column]:
     """Page-level ``<meta name="robots">`` directives (RFC 9309's html
     companion, the part CCBot/Nutch honor): ``nofollow`` — contribute
@@ -137,7 +150,7 @@ def extract_links(
         # fetched pages already carry url_canon/host — don't re-run the
         # canonicalizer python stage over them
         src = with_url_canon(src)
-    html_text = F.decode(F.col(html_col), "UTF-8")
+    html_text = decode_permissive(F.col(html_col))
     scheme = F.regexp_extract(F.col("url_canon"), r"^([a-z][a-z0-9+.-]*):", 1)
     host = F.col("host")
     path = F.coalesce(
@@ -187,7 +200,7 @@ def extract_sitemap_locs(pages: DataFrame, html_col: str = "html") -> DataFrame:
     urlset leaves (page urls → frontier seeds) and sitemapindex nodes
     (child sitemap urls → fetch next)."""
     locs = F.regexp_extract_all(
-        F.decode(F.col(html_col), "UTF-8"),
+        decode_permissive(F.col(html_col)),
         F.lit(r"<loc>\s*([^<]+?)\s*</loc>"),
         F.lit(1),
     )
@@ -234,7 +247,7 @@ def extract_anchor_texts(
     src = pages.select(*keep, html_col)
     if "url_canon" not in src.columns:
         src = with_url_canon(src)
-    html_text = F.decode(F.col(html_col), "UTF-8")
+    html_text = decode_permissive(F.col(html_col))
     scheme = F.regexp_extract(F.col("url_canon"), r"^([a-z][a-z0-9+.-]*):", 1)
     host = F.col("host")
     path = F.coalesce(

@@ -633,6 +633,7 @@ class FrontierStore:
         priority_decay: float = 1.0,
         broadcast_robots: bool = True,
         respect_nofollow: bool = True,
+        drop_traps: bool = True,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -651,7 +652,12 @@ class FrontierStore:
 
         ``respect_nofollow`` (default on, like CCBot/Nutch) honors the
         robots html companion during discovery: meta-robots-nofollow
-        pages contribute no links, rel="nofollow" hrefs are dropped."""
+        pages contribute no links, rel="nofollow" hrefs are dropped.
+
+        ``drop_traps`` (default on, Heritrix-style) gates discovered
+        links through functions.traps.is_trap BEFORE the dedup
+        shuffle — calendar descents, segment-echo loops, and facet
+        grids never reach the frontier (or the seen-filter)."""
         from ..functions.links import extract_links
 
         summaries: list[dict] = []
@@ -661,6 +667,7 @@ class FrontierStore:
                 salt_buckets, max_per_host, n_partitions, discover,
                 text_out, backoff_factor, priority_decay, extract_links,
                 summaries, broadcast_robots, respect_nofollow,
+                drop_traps,
             )
         finally:
             self.release()
@@ -670,7 +677,7 @@ class FrontierStore:
         self, spark, pages, robots, run_ts, max_rounds, round_ms,
         salt_buckets, max_per_host, n_partitions, discover, text_out,
         backoff_factor, priority_decay, extract_links, summaries,
-        broadcast_robots=True, respect_nofollow=True,
+        broadcast_robots=True, respect_nofollow=True, drop_traps=True,
     ) -> None:
         for rid in range(max_rounds):
             # compact the metrics chains BETWEEN rounds, never inside
@@ -723,14 +730,17 @@ class FrontierStore:
                 # meta-robots-noindex pages are crawled (their links
                 # still feed discovery) but stay out of the content sink
                 from . import extract as X
-                from ..functions.links import meta_robots_flags
+                from ..functions.links import (
+                    decode_permissive,
+                    meta_robots_flags,
+                )
 
                 sink_pages = fetched_pages
                 if respect_nofollow:
                     sink_pages = sink_pages.filter(
-                        ~meta_robots_flags(F.decode("html", "UTF-8"))[
-                            "noindex"
-                        ]
+                        ~meta_robots_flags(
+                            decode_permissive(F.col("html"))
+                        )["noindex"]
                     )
                 X.extract_text(
                     sink_pages.select("url", "html")
@@ -743,15 +753,21 @@ class FrontierStore:
                 # carry the parent's priority through the explode (no
                 # join-back); a link found under several parents takes
                 # the BEST parent minus one decay step
+                links = extract_links(
+                    fetched_pages.select(
+                        "url", "url_canon", "host", "priority", "html"
+                    ),
+                    carry=("priority",),
+                    respect_nofollow=respect_nofollow,
+                )
+                if drop_traps:
+                    # map-side gate BEFORE the dedup shuffle: trapped
+                    # urls never cost a shuffle write or a seen-probe
+                    from ..functions.traps import is_trap
+
+                    links = links.filter(~is_trap(F.col("link")))
                 discovered = (
-                    extract_links(
-                        fetched_pages.select(
-                            "url", "url_canon", "host", "priority", "html"
-                        ),
-                        carry=("priority",),
-                        respect_nofollow=respect_nofollow,
-                    )
-                    .groupBy(F.col("link").alias("url"))
+                    links.groupBy(F.col("link").alias("url"))
                     .agg(
                         (F.max("priority") - F.lit(priority_decay)).alias(
                             "priority"

@@ -235,7 +235,15 @@ def robots_from_pages(
             ),
         )
         .filter(F.col("_rn") == 1)
-        .select("host", F.decode(F.col("body"), "UTF-8").alias("robots_txt"))
+        # permissive decode: a server that answers /robots.txt with
+        # binary garbage must not kill the round (links.decode_permissive
+        # contract) — invalid bytes become U+FFFD and match no REP rule
+        .select(
+            "host",
+            F.make_valid_utf8(F.col("body").cast("string")).alias(
+                "robots_txt"
+            ),
+        )
     )
     return robots_rules_from_txt(latest.sparkSession, latest, user_agent)
 

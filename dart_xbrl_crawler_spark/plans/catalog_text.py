@@ -2317,3 +2317,262 @@ def q68(spark, sf):
         .select(F.col("src_url"), F.col("link"))
         .orderBy("src_url", "link")
     )
+
+
+# =====================================================================
+# crawl-trap detection — Heritrix-style frontier hygiene (functions/
+# traps.py): calendar descents (path depth), segment-echo loops
+# (/s/x/s/x/…), facet grids (query-param count), session-id accretion
+# (url length), each ONE Catalyst expression over the discovered url —
+# map-only, no shuffle at 10^10 urls; run_crawl(drop_traps=True) gates
+# links through it BEFORE the dedup shuffle.  Semantics are regex-
+# backreference-free (RE2 oracle-portable): segments = split(path,'/'),
+# repeat = max over segments of its occurrence count.  Urls synthesized
+# from orders with planted traps of all four kinds.
+# =====================================================================
+@query(
+    "q69_crawl_traps",
+    """
+    WITH u AS (
+      SELECT 'https://h' || CAST(o_custkey % 20 AS VARCHAR) || '.ex' ||
+        CASE o_orderkey % 23
+          WHEN 0 THEN '/a1/a2/a3/a4/a5/a6/a7/a8/a9/a10/a11/a12/a13'
+          WHEN 1 THEN '/s/x/s/x/s/x/s/' || CAST(o_orderkey AS VARCHAR)
+          WHEN 2 THEN '/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9&p10=10&p11=11'
+          WHEN 3 THEN '/long/' || repeat('z', 600)
+          ELSE '/a/b' || CAST(o_orderkey % 7 AS VARCHAR) ||
+               '?x=' || CAST(o_orderkey % 5 AS VARCHAR)
+        END AS url
+      FROM orders),
+    g AS (
+      SELECT url, split_part(url, '://', 2) AS rest,
+             instr(split_part(url, '://', 2), '?') AS qpos
+      FROM u),
+    h AS (
+      SELECT url, length(url) AS url_len,
+        CASE WHEN qpos > 0 THEN substr(rest, 1, qpos - 1) ELSE rest END AS ph,
+        CASE WHEN qpos > 0 THEN substr(rest, qpos + 1) ELSE '' END AS qs
+      FROM g),
+    i AS (
+      SELECT url, url_len, qs,
+        list_filter(string_split(ph, '/')[2:], x -> x <> '') AS segs
+      FROM h),
+    feat AS (
+      SELECT url, url_len, len(segs) AS path_depth,
+        CASE WHEN len(segs) = 0 THEN 0 ELSE list_max(list_transform(
+          segs, s -> len(list_filter(segs, t -> t = s)))) END AS seg_rep,
+        CASE WHEN qs = '' THEN 0
+             ELSE len(string_split(qs, '&')) END AS n_params
+      FROM i)
+    SELECT url, CAST(path_depth AS BIGINT) AS path_depth,
+           CAST(seg_rep AS BIGINT) AS max_segment_repeat,
+           CAST(n_params AS BIGINT) AS n_params,
+           CAST(url_len AS BIGINT) AS url_len,
+           CASE WHEN path_depth > 12 THEN 'depth'
+                WHEN seg_rep > 3 THEN 'segment_repeat'
+                WHEN n_params > 10 THEN 'params'
+                WHEN url_len > 512 THEN 'length'
+                ELSE NULL END AS trap_reason
+    FROM feat ORDER BY url
+    """,
+)
+def q69(spark, sf):
+    from ..functions.traps import trap_features
+
+    o = _t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    path = (
+        F.when(key % 23 == 0, F.lit("/a1/a2/a3/a4/a5/a6/a7/a8/a9/a10/a11/a12/a13"))
+        .when(key % 23 == 1, F.concat(F.lit("/s/x/s/x/s/x/s/"), key.cast("string")))
+        .when(
+            key % 23 == 2,
+            F.lit("/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9&p10=10&p11=11"),
+        )
+        .when(key % 23 == 3, F.concat(F.lit("/long/"), F.repeat(F.lit("z"), 600)))
+        .otherwise(
+            F.concat(
+                F.lit("/a/b"), (key % 7).cast("string"),
+                F.lit("?x="), (key % 5).cast("string"),
+            )
+        )
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".ex"), path,
+    )
+    feats = trap_features(F.col("url"))
+    return (
+        o.select(url.alias("url"))
+        .select("url", *[c.alias(n) for n, c in feats.items()])
+        .orderBy("url")
+    )
+
+
+# =====================================================================
+# mirror-host detection — hosts serving near-identical document sets
+# (operators/hoststats.mirror_host_pairs): distinct (host, signature) →
+# frequent-signature guard (a boilerplate sig on k hosts yields
+# k(k-1)/2 pairs) → ONE equality self-join on the signature → pair
+# counts + jaccard over distinct sigs.  O(matching pairs), never a
+# host cross-product; at 10^10 urls the sig join shuffles 8-byte
+# hashes.  Hosts/signatures synthesized from orders so host pairs
+# share structured overlap.
+# =====================================================================
+@query(
+    "q70_mirror_hosts",
+    """
+    WITH sigs AS (
+      SELECT DISTINCT 'm' || CAST(o_orderkey % 8 AS VARCHAR) AS host,
+             o_orderkey % 50 AS sig
+      FROM orders WHERE o_orderkey % 3 = 0),
+    rare AS (
+      SELECT s.host, s.sig FROM sigs s
+      JOIN (SELECT sig FROM sigs GROUP BY sig HAVING COUNT(*) <= 64) r
+        USING (sig)),
+    sizes AS (SELECT host, COUNT(*) AS n_docs FROM rare GROUP BY host),
+    shared AS (
+      SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_shared
+      FROM rare a JOIN rare b ON a.sig = b.sig AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT host_a, host_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n_docs AS BIGINT) AS n_a,
+           CAST(sb.n_docs AS BIGINT) AS n_b,
+           ROUND(n_shared / CAST(sa.n_docs + sb.n_docs - n_shared AS DOUBLE),
+                 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.host = shared.host_a
+    JOIN sizes sb ON sb.host = shared.host_b
+    WHERE n_shared >= 2
+    ORDER BY host_a, host_b
+    """,
+)
+def q70(spark, sf):
+    from ..operators.hoststats import mirror_host_pairs
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    sigs = o.select(
+        F.concat(F.lit("m"), (F.col("o_orderkey") % 8).cast("string")).alias(
+            "host"
+        ),
+        (F.col("o_orderkey") % 50).alias("sig"),
+    )
+    return mirror_host_pairs(
+        sigs, host_col="host", sig_col="sig", min_shared=2
+    ).orderBy("host_a", "host_b")
+
+
+# =====================================================================
+# host quality rollup — per-host document-quality aggregate feeding
+# frontier priority (operators/hoststats.host_quality_rollup): doc
+# count, mean length, short-doc fraction, language spread, and a
+# priority penalty for hosts whose corpus is mostly fragments.  Exact-
+# integer sums with one final division — bit-stable under any
+# partitioning; one groupBy, broadcastable host dim at 100 TB (hosts
+# ≪ docs).  Hosts synthesized from doc_id.
+# =====================================================================
+@query(
+    "q71_host_quality",
+    """
+    WITH d AS (
+      SELECT 'w' || CAST(doc_id % 11 AS VARCHAR) AS host, text, lang
+      FROM documents)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(length(text)) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS mean_chars,
+           ROUND(SUM(CASE WHEN length(text) < 200 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS short_frac,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(CASE WHEN SUM(CASE WHEN length(text) < 200 THEN 1 ELSE 0 END)
+                          / CAST(COUNT(*) AS DOUBLE) > 0.3
+                     THEN -2.0 ELSE 0.0 END AS DOUBLE) AS priority_penalty
+    FROM d GROUP BY host ORDER BY host
+    """,
+)
+def q71(spark, sf):
+    from ..operators.hoststats import host_quality_rollup
+
+    d = _t(spark, sf, "documents").withColumn(
+        "host", F.concat(F.lit("w"), (F.col("doc_id") % 11).cast("string"))
+    )
+    # 0.3 straddles the synthetic corpus (per-host short fractions
+    # spread ~0.15-0.45), so BOTH penalty branches appear in the output
+    return host_quality_rollup(d, demote_short_frac=0.3).orderBy("host")
+
+
+# =====================================================================
+# conditional-revalidation accounting (RFC 9110 §13.1 If-None-Match /
+# If-Modified-Since): replay each url's fetch history and count the
+# refetches where the validator (etag) was unchanged — those would
+# have been 304 Not Modified responses, saving the full body transfer.
+# Per-url output feeds the fetch planner: a url with high saved_frac
+# should be fetched conditionally (cheap) and on a long q63 interval.
+# Same scale shape as q63: ONE window partitioned by url_id (url
+# cardinality is the parallelism), exact-integer sums, one division.
+# =====================================================================
+@query(
+    "q72_revalidation_savings",
+    """
+    WITH hist AS (
+      SELECT o_custkey % 101 AS url_id, o_orderdate AS ts,
+             o_orderkey AS tie, o_orderkey % 4 AS etag,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS body_bytes
+      FROM orders WHERE o_orderkey % 7 = 0),
+    lagged AS (
+      SELECT url_id, etag, body_bytes,
+             LAG(etag) OVER (PARTITION BY url_id ORDER BY ts, tie)
+               AS prev_etag
+      FROM hist)
+    SELECT url_id,
+           CAST(SUM(CASE WHEN prev_etag IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_refetches,
+           CAST(SUM(CASE WHEN prev_etag IS NOT NULL AND etag = prev_etag
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_modified,
+           CAST(SUM(CASE WHEN prev_etag IS NOT NULL AND etag = prev_etag
+                         THEN body_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_saved,
+           ROUND(CASE WHEN SUM(CASE WHEN prev_etag IS NOT NULL
+                                    THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE SUM(CASE WHEN prev_etag IS NOT NULL
+                               AND etag = prev_etag THEN 1 ELSE 0 END)
+                      / CAST(SUM(CASE WHEN prev_etag IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                 END, 4) AS saved_frac
+    FROM lagged GROUP BY url_id ORDER BY url_id
+    """,
+)
+def q72(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    hist = o.select(
+        (F.col("o_custkey") % 101).alias("url_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+        (F.col("o_orderkey") % 4).alias("etag"),
+        # exact-integer bytes: SUM order must not matter (float
+        # accumulation order differs between engines/partitionings)
+        F.floor(F.col("o_totalprice")).alias("body_bytes"),
+    )
+    w = Window.partitionBy("url_id").orderBy("ts", "tie")
+    lagged = hist.withColumn("prev_etag", F.lag("etag").over(w))
+    refetch = F.when(F.col("prev_etag").isNotNull(), 1).otherwise(0)
+    unchanged = F.when(
+        F.col("prev_etag").isNotNull() & (F.col("etag") == F.col("prev_etag")), 1
+    ).otherwise(0)
+    saved = F.when(
+        F.col("prev_etag").isNotNull() & (F.col("etag") == F.col("prev_etag")),
+        F.col("body_bytes"),
+    ).otherwise(F.lit(0))
+    agg = lagged.groupBy("url_id").agg(
+        F.sum(refetch).cast("long").alias("n_refetches"),
+        F.sum(unchanged).cast("long").alias("n_not_modified"),
+        F.sum(saved).cast("long").alias("bytes_saved"),
+        F.sum(refetch).alias("_nr"),
+        F.sum(unchanged).alias("_nm"),
+    )
+    frac = F.when(F.col("_nr") == 0, F.lit(0.0)).otherwise(
+        F.col("_nm") / F.col("_nr").cast("double")
+    )
+    return (
+        agg.withColumn("saved_frac", F.round(frac, 4))
+        .drop("_nr", "_nm")
+        .orderBy("url_id")
+    )

@@ -142,3 +142,33 @@ def test_recrawl_interval_window_is_url_partitioned(spark):
     plan = _plan(E.queries()["q63_recrawl_interval"](spark, SF))
     assert "Window" in plan
     assert "partitionBy=[url_id" in plan.replace(" ", "") or "url_id" in plan
+
+
+def test_trap_gate_is_mapside_no_shuffle(spark):
+    """q69: every trap feature is one Catalyst expression over the url —
+    the whole query must be scan→project→sort with no exchange besides
+    the final orderBy's range partitioning, no window, no join, and no
+    python worker."""
+    plan = _plan(E.queries()["q69_crawl_traps"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mirror_pairs_equality_join_only(spark):
+    """q70: the pair generator must be an equality join on the content
+    signature (SortMerge or Hash), never a cartesian product; the
+    frequent-sig guard aggregates before the join."""
+    plan = _plan(E.queries()["q70_mirror_hosts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_quality_single_aggregate(spark):
+    """q71: one groupBy — partial (map-side) + final aggregate, no join,
+    no window, no python."""
+    plan = _plan(E.queries()["q71_host_quality"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -1254,3 +1254,215 @@ def test_meta_robots_and_nofollow_links(spark):
     assert got["https://a.ex/d/p1"] == (False, False)
     assert got["https://a.ex/d/p3"] == (True, True)
     assert got["https://a.ex/d/p4"] == (True, False)
+
+
+def test_bench_stage_min_composition():
+    """One side of the scaling pair composes per-stage minima across
+    legs: a minute-scale contention burst poisons one stage of one leg,
+    so the composite must beat every individual leg when the bursts hit
+    different stages."""
+    B = _bench_mod()
+    legs = [
+        {"t_ins": 10.0, "t_pop": 50.0, "t_ext": 20.0, "t_popc": 3.0,
+         "n_ins": 100, "n_pop": 800, "n_ext": 60, "health_sp": 3.8},
+        {"t_ins": 25.0, "t_pop": 40.0, "t_ext": 21.0, "t_popc": 2.5,
+         "n_ins": 100, "n_pop": 800, "n_ext": 60, "health_sp": 3.9},
+    ]
+    c = B._stage_min(legs)
+    assert (c["t_ins"], c["t_pop"], c["t_ext"], c["t_popc"]) == (10.0, 40.0, 20.0, 2.5)
+    assert B._t_total(c) == 70.0  # beats both legs (80, 86)
+    assert c["n_legs"] == 2 and c["health_sp"] == 3.9
+    assert c["n_pop"] == 800  # counts are quantum-identical, carried through
+    # single leg: composite degenerates to the leg itself
+    single = B._stage_min(legs[:1])
+    assert B._t_total(single) == 80.0 and single["n_legs"] == 1
+    # a leg missing the probe timing drops t_popc from the composite min
+    legs2 = [dict(legs[0]), {k: v for k, v in legs[1].items() if k != "t_popc"}]
+    c2 = B._stage_min(legs2)
+    assert c2["t_popc"] == 3.0  # from the min-total leg, not a cross-leg min
+
+
+# ------------------------- crawl-trap detection (functions/traps.py)
+def test_trap_features_rules(spark):
+    from dart_xbrl_crawler_spark.functions.traps import trap_features, is_trap
+
+    rows = [
+        ("https://h.ex/a/b?x=1",),                                   # clean
+        ("https://h.ex/" + "/".join(f"p{i}" for i in range(13)),),   # depth 13
+        ("https://h.ex/s/x/s/x/s/x/s/9",),                           # 's' ×4
+        ("https://h.ex/q?" + "&".join(f"p{i}={i}" for i in range(11)),),
+        ("https://h.ex/long/" + "z" * 600,),                         # length
+        ("https://h.ex/",),                                          # root
+    ]
+    df = spark.createDataFrame(rows, schema="url string")
+    from pyspark.sql import functions as F
+
+    feats = trap_features(F.col("url"))
+    out = {
+        r["url"]: r
+        for r in df.select(
+            "url", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    clean = out["https://h.ex/a/b?x=1"]
+    assert clean["trap_reason"] is None
+    assert (clean["path_depth"], clean["n_params"]) == (2, 1)
+    deep = [r for u, r in out.items() if "/p12" in u][0]
+    assert deep["trap_reason"] == "depth" and deep["path_depth"] == 13
+    rep = out["https://h.ex/s/x/s/x/s/x/s/9"]
+    assert rep["trap_reason"] == "segment_repeat"
+    assert rep["max_segment_repeat"] == 4
+    par = [r for u, r in out.items() if "p10=10" in u][0]
+    assert par["trap_reason"] == "params" and par["n_params"] == 11
+    lng = [r for u, r in out.items() if "zzz" in u][0]
+    assert lng["trap_reason"] == "length" and lng["url_len"] > 512
+    root = out["https://h.ex/"]
+    assert root["trap_reason"] is None and root["path_depth"] == 0
+    n_traps = df.filter(is_trap(F.col("url"))).count()
+    assert n_traps == 4
+
+
+def test_crawl_drops_trap_links(spark, tmp_path):
+    """run_crawl(drop_traps=True) keeps a calendar-descent link out of
+    the frontier; drop_traps=False lets it in."""
+    import pandas as pd
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark import fixtures
+
+    trap_href = "/" + "/".join(f"d{i}" for i in range(14))
+    html = (
+        '<a href="/fine/page1">ok</a>'
+        f'<a href="{trap_href}">cal</a>'
+    ).encode()
+    seed_url = "https://t.ex/start"
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": [seed_url], "html": [html],
+             "warc_ts": [pd.Timestamp("2026-01-01")]}
+        ),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("t.ex", None, 1)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    for drop, expect_trap in ((True, 0), (False, 1)):
+        store = FrontierStore(str(tmp_path / f"f_{drop}"), n_bloom_shards=4)
+        seeds = spark.createDataFrame(
+            pd.DataFrame({"url": [seed_url], "priority": [0.0]})
+        )
+        store.bootstrap(seeds, fixtures.RUN_TS)
+        store.run_crawl(
+            spark, pages, robots, fixtures.RUN_TS,
+            max_rounds=1, drop_traps=drop,
+        )
+        urls = [
+            r["url_canon"]
+            for r in store.table.read(spark).select("url_canon").collect()
+        ]
+        n_trap = sum("/d13" in u for u in urls)
+        assert n_trap == expect_trap, (drop, urls)
+        assert any("/fine/page1" in u for u in urls)
+
+
+# ------------------------- host-level ops (operators/hoststats.py)
+def test_mirror_host_pairs_guard_and_jaccard(spark):
+    from dart_xbrl_crawler_spark.operators.hoststats import mirror_host_pairs
+
+    rows = (
+        # ha and hb are perfect mirrors over 3 sigs; hc shares 1 with ha
+        [("ha", s) for s in (1, 2, 3)]
+        + [("hb", s) for s in (1, 2, 3)]
+        + [("hc", 1), ("hc", 9)]
+        # boilerplate sig 99 on every host — must be guarded away
+        + [(h, 99) for h in ("ha", "hb", "hc", "hd")]
+    )
+    df = spark.createDataFrame(rows, schema="host string, sig long")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_pairs(
+            df, sig_col="sig", min_shared=1, max_hosts_per_sig=3
+        ).collect()
+    }
+    # sig 99 (4 hosts > 3) excluded everywhere: sizes AND pairs
+    ab = out[("ha", "hb")]
+    assert ab["n_shared"] == 3 and ab["n_a"] == 3 and ab["n_b"] == 3
+    assert abs(ab["jaccard"] - 1.0) < 1e-9
+    ac = out[("ha", "hc")]
+    assert ac["n_shared"] == 1 and ac["n_b"] == 2
+    assert abs(ac["jaccard"] - round(1 / 4, 4)) < 1e-9
+    assert ("hc", "hd") not in out and ("ha", "hd") not in out
+
+
+def test_host_quality_rollup_penalty(spark):
+    from dart_xbrl_crawler_spark.operators.hoststats import host_quality_rollup
+
+    rows = [
+        ("good", "x" * 500, "en"), ("good", "y" * 300, "en"),
+        ("bad", "short", "en"), ("bad", "tiny", "ko"),
+        ("bad", "z" * 400, "en"),
+    ]
+    df = spark.createDataFrame(rows, schema="host string, text string, lang string")
+    out = {r["host"]: r for r in host_quality_rollup(df).collect()}
+    assert out["good"]["priority_penalty"] == 0.0
+    assert out["good"]["mean_chars"] == 400.0 and out["good"]["n_langs"] == 1
+    bad = out["bad"]
+    assert bad["priority_penalty"] == -2.0  # 2/3 short > 0.5
+    assert bad["short_frac"] == round(2 / 3, 4) and bad["n_langs"] == 2
+
+
+def test_discovery_survives_binary_payloads(spark):
+    """A frontier carries non-text bodies (ZIP filings, images,
+    truncated bytes). Spark 4's decode(_, 'UTF-8') throws on the first
+    invalid byte — discovery/sitemap/anchor/meta paths must use the
+    permissive decode so one binary page can never kill a round."""
+    import zlib
+    from pyspark.sql import functions as F
+    from dart_xbrl_crawler_spark.functions.links import (
+        decode_permissive,
+        extract_anchor_texts,
+        extract_links,
+        extract_sitemap_locs,
+        meta_robots_flags,
+    )
+
+    rows = [
+        ("https://b.ex/a.zip", b"PK\x03\x04" + bytes(range(256)) * 4),
+        ("https://b.ex/b.png", b"\x89PNG\r\n\x1a\n" + zlib.compress(b"x" * 99)),
+        ("https://b.ex/page", b'<a href="/ok">fine</a>'),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, html binary")
+    links = extract_links(df, respect_nofollow=True).collect()
+    assert {(r["src_url"], r["link"]) for r in links} == {
+        ("https://b.ex/page", "https://b.ex/ok")
+    }
+    assert extract_anchor_texts(df).count() == 1
+    assert extract_sitemap_locs(df).count() == 0
+    flags = meta_robots_flags(decode_permissive(F.col("html")))
+    out = df.select(flags["nofollow"].alias("nf")).collect()
+    assert all(r["nf"] is False for r in out)
+
+
+def test_run_crawl_discovery_over_zip_frontier(spark, tmp_path):
+    """The original failing drive: a crawl whose fetched pages are XBRL
+    ZIPs (binary) with discovery ON must complete the round instead of
+    throwing MALFORMED_CHARACTER_CODING."""
+    from dart_xbrl_crawler_spark import fixtures
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark.operators.scheduler import seeds_to_frontier
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS, SEEDS
+
+    pages, seeds, *_ = fixtures.gen_pages(n_corps=2, n_generic=3, seed=23)
+    store = FrontierStore(str(tmp_path / "f"), n_bloom_shards=4)
+    store.bootstrap(
+        seeds_to_frontier(spark.createDataFrame(seeds, schema=SEEDS)),
+        fixtures.RUN_TS,
+    )
+    robots = spark.createDataFrame(
+        [("dart.fss.or.kr", None, 1)], schema=ROBOTS
+    )
+    rounds = store.run_crawl(
+        spark, spark.createDataFrame(pages, schema=PAGES), robots,
+        fixtures.RUN_TS, max_rounds=2,
+    )
+    assert rounds and rounds[0]["fetched"] > 0
