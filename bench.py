@@ -702,19 +702,31 @@ def _scaling_block(
         "stage_min_legs_lo": lo.get("n_legs", 1),
         "stage_min_legs_hi": hi.get("n_legs", 1),
         **q,
-        **_pop_var_block(lo, hi),
+        **_pop_var_block(
+            lo,
+            hi,
+            # main-pop frontier rows / probe rows (pop_probe_job n=500k)
+            row_ratio=(quantum[0] * quantum[1]) / 500_000.0 if quantum else None,
+        ),
         **calib,
     }
 
 
-def _pop_var_block(lo: dict, hi: dict) -> dict:
-    """Separate the pop stage's fixed cost from its variable work:
-    t_popc is the SAME pop plan on a 500 k frontier (constants-
-    dominated, same stage walk — bench_support.pop_probe_job), so
-    t_pop − t_popc isolates the variable part and its lo→hi ratio is
-    the engine's distributed-work scaling with the per-stage constants
-    (AQE waves, broadcast build, task scheduling — which vanish in
-    minutes-long production rounds) factored out."""
+def _pop_var_block(lo: dict, hi: dict, row_ratio: float | None = None) -> dict:
+    """Separate the pop stage's fixed cost from its variable work.
+    t_popc is the SAME pop plan on a 500 k frontier (same stage walk —
+    bench_support.pop_probe_job).  Two decompositions:
+
+    * naive (kept for artifact continuity): t_pop − t_popc — treats the
+      probe as pure constants, UNDERSTATES the variable part because
+      the probe still carries 1/row_ratio of the variable work;
+    * two-point fit (when ``row_ratio`` = main_rows / probe_rows is
+      known): per leg, solve t = c + n·v from the (main, probe) pair —
+      c = (R·t_probe − r·t_main)/(R − r) with R/r = row_ratio, clamped
+      at 0 (a contended probe can fit negative).  efficiency_pop_var_fit
+      is the honest constants-free scaling of the distributed work
+      (stage constants — AQE waves, broadcast build, task scheduling —
+      amortize away in minutes-long production rounds)."""
     if "t_popc" not in lo or "t_popc" not in hi:
         return {}
     var_lo = lo["t_pop"] - lo["t_popc"]
@@ -725,6 +737,18 @@ def _pop_var_block(lo: dict, hi: dict) -> dict:
     }
     if var_lo > 0 and var_hi > 0:
         out["efficiency_pop_var"] = round((var_lo / var_hi) / 4.0, 3)
+    if row_ratio and row_ratio > 1.0:
+        R = row_ratio
+        fits = {}
+        for name, leg in (("lo", lo), ("hi", hi)):
+            c = max(0.0, (R * leg["t_popc"] - leg["t_pop"]) / (R - 1.0))
+            fits[name] = (c, leg["t_pop"] - c)
+        out["pop_const_fit_s_lo"] = round(fits["lo"][0], 3)
+        out["pop_const_fit_s_hi"] = round(fits["hi"][0], 3)
+        if fits["lo"][1] > 0 and fits["hi"][1] > 0:
+            out["efficiency_pop_var_fit"] = round(
+                (fits["lo"][1] / fits["hi"][1]) / 4.0, 3
+            )
     return out
 
 

@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="scrub emails/IPv4/+phones to tags on surviving rows",
     )
+    cu.add_argument(
+        "--host-short-frac",
+        type=float,
+        default=None,
+        help="domain gate: drop all docs from hosts whose share of "
+             "sub-200-char docs exceeds this fraction",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(f"cli-{args.cmd}")
@@ -242,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
             max_top_bigram_frac=args.max_top_bigram_frac,
             sample_thresholds=thresholds or None,
             redact=args.redact_pii,
+            host_short_frac=args.host_short_frac,
         )
         corpus.write.mode("overwrite").parquet(args.out)
         funnel = {r["stage"]: r["rows"] for r in stats.collect()}

@@ -96,6 +96,7 @@ def curate(
     sample_thresholds: dict[str, str] | None = None,
     strip_markup_decoded: bool = True,
     redact: bool = False,
+    host_short_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (curated corpus, per-stage funnel stats), both lazy.
 
@@ -107,7 +108,12 @@ def curate(
     already extracted and never restripped).  ``redact`` (a policy
     choice, so opt-in) scrubs emails/IPv4/+phones to tags on the FINAL
     surviving rows — after dedup, so md5-identity still keys on source
-    text and only kept rows pay the pass.
+    text and only kept rows pay the pass.  ``host_short_frac`` (opt-in,
+    the RefinedWeb/CCNet domain-filtering stage) drops every doc from a
+    host whose share of sub-200-char docs exceeds the threshold —
+    host stats come from operators.hoststats.host_quality_rollup over
+    the quality-passed rows themselves (one extra groupBy on a host dim
+    ≪ corpus; the join back is broadcastable at any corpus size).
     """
     # 1. decode only the rows that need it — the common crawl case is
     # text already extracted upstream; html-only rows pay the python
@@ -141,7 +147,31 @@ def curate(
         & (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
-    passed = scored.filter(quality_ok)
+    quality_passed = scored.filter(quality_ok)
+    passed = quality_passed
+
+    # 3b. optional domain-level gate: per-host short-doc fraction over
+    # the quality-passed rows; fragment-dominated hosts drop wholesale
+    if host_short_frac is not None:
+        from ..operators.hoststats import host_quality_rollup
+
+        host = F.substring_index(
+            F.substring_index(F.col("url"), "://", -1), "/", 1
+        )
+        with_host = passed.withColumn("_host", host)
+        bad_hosts = (
+            host_quality_rollup(
+                with_host, host_col="_host", lang_col=None,
+                demote_short_frac=host_short_frac,
+            )
+            .filter(F.col("priority_penalty") < 0)
+            .select(F.col("host").alias("_host"))
+        )
+        passed = (
+            with_host.join(
+                F.broadcast(bad_hosts), "_host", "left_anti"
+            ).drop("_host")
+        )
 
     # 4. exact dedup — the one shuffle; min-url is the canonical copy
     w_min = passed.groupBy(F.md5("text").alias("_th")).agg(
@@ -179,8 +209,11 @@ def curate(
     stats = (
         _n(pages, "input")
         .unionByName(_n(decoded, "decoded"))
-        .unionByName(_n(passed, "quality_pass"))
-        .unionByName(_n(deduped, "deduped"))
-        .unionByName(_n(curated, "curated"))
+        .unionByName(_n(quality_passed, "quality_pass"))
+    )
+    if host_short_frac is not None:
+        stats = stats.unionByName(_n(passed, "host_pass"))
+    stats = stats.unionByName(_n(deduped, "deduped")).unionByName(
+        _n(curated, "curated")
     )
     return curated, stats

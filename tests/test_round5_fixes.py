@@ -1466,3 +1466,61 @@ def test_run_crawl_discovery_over_zip_frontier(spark, tmp_path):
         fixtures.RUN_TS, max_rounds=2,
     )
     assert rounds and rounds[0]["fetched"] > 0
+
+
+def test_bench_pop_var_two_point_fit():
+    """The constants fit solves t = c + n·v from the (main, probe)
+    pair per leg: c = (R·t_probe − t_main)/(R − 1), clamped at 0."""
+    B = _bench_mod()
+    lo = {"t_ins": 1, "t_pop": 132.8, "t_ext": 1, "t_popc": 12.345}
+    hi = {"t_ins": 1, "t_pop": 43.6, "t_ext": 1, "t_popc": 2.989}
+    out = B._pop_var_block(lo, hi, row_ratio=32.0)
+    assert abs(out["pop_const_fit_s_lo"] - 8.459) < 1e-3
+    assert abs(out["pop_const_fit_s_hi"] - 1.679) < 1e-3
+    assert abs(out["efficiency_pop_var_fit"] - 0.742) < 1e-3
+    # naive decomposition kept for continuity
+    assert abs(out["efficiency_pop_var"] - 0.742) < 1e-3
+    # no ratio → fit fields absent, naive fields unchanged
+    assert "pop_const_fit_s_lo" not in B._pop_var_block(lo, hi)
+    # a contended probe can fit negative constants → clamp at 0
+    out2 = B._pop_var_block(dict(lo, t_popc=1.0), hi, row_ratio=32.0)
+    assert out2["pop_const_fit_s_lo"] == 0.0
+
+
+def test_curate_host_gate(spark):
+    """curate(host_short_frac=…) drops every doc from a fragment-
+    dominated host (RefinedWeb-style domain filtering) and surfaces the
+    stage in the funnel; good hosts keep their long docs."""
+    from dart_xbrl_crawler_spark.plans.webtext import curate
+
+    def row(url, text):
+        return (url, None, None, text, None)
+
+    rows = (
+        # spam.ex: 3 of 4 docs are fragments (>0.5 short) — all 4 drop,
+        # including the long one (every text passes the per-doc quality
+        # gate on its own: ≥5 words, varied bigrams)
+        # ≥10 varied words so the per-doc top-bigram gate (1/n_bigrams
+        # ≤ 0.2) passes, yet <200 chars so the HOST sees a fragment
+        [row(f"https://spam.ex/s{i}",
+             " ".join(f"t{i}x{j}" for j in range(10)))
+         for i in range(3)]
+        + [row("https://spam.ex/long",
+               " ".join(f"spamword{j}" for j in range(40)))]
+        + [row(f"https://good.ex/g{i}",
+               " ".join(f"tok{i}x{j}" for j in range(50)))
+           for i in range(3)]
+    )
+    pages = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, "
+                     "text string, lang string",
+    )
+    corpus, stats = curate(pages, host_short_frac=0.5)
+    kept = [r["url"] for r in corpus.select("url").collect()]
+    assert all("good.ex" in u for u in kept) and len(kept) == 3
+    funnel = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert funnel["quality_pass"] == 7 and funnel["host_pass"] == 3
+    # gate off → spam.ex survives
+    corpus2, stats2 = curate(pages)
+    assert corpus2.count() == 7
+    assert "host_pass" not in {r["stage"] for r in stats2.collect()}
