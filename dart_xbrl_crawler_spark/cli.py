@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--keep-traps", action="store_true",
                    help="disable the crawl-trap gate on discovered links "
                         "(depth/segment-echo/params/length rules)")
+    c.add_argument("--keep-assets", action="store_true",
+                   help="also follow static-asset links (css/js/media/"
+                        "archives) instead of dropping them at discovery")
 
     r = sub.add_parser("recrawl")
     r.add_argument("--store", required=True)
@@ -218,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             backoff_factor=args.backoff_factor,
             priority_decay=args.priority_decay,
             drop_traps=not args.keep_traps,
+            drop_assets=not args.keep_assets,
         )
         print(json.dumps({"rounds": rounds, "states": store.state_counts(spark)}))
     elif args.cmd == "extract":

@@ -210,6 +210,48 @@ def extract_sitemap_locs(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def extract_sitemap_entries(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """sitemap.xml urlset pages → (src_url, loc, lastmod): the per-url
+    ``<lastmod>`` that sitemaps.org defines next to each ``<loc>`` — the
+    freshness hint a crawler feeds straight into its recrawl policy
+    (a stored frontier row older than the advertised lastmod re-queues;
+    pairs with the q63 change-rate estimate when no hint exists).
+
+    Pure Catalyst: one regexp pass pulls whole ``<url>``/``<sitemap>``
+    blocks, per-block transforms pull loc and the OPTIONAL lastmod
+    (null when absent — surfaced, never defaulted).  Sitemaps are flat;
+    a full XML parse buys nothing over the block walk."""
+    body = decode_permissive(F.col(html_col))
+    blocks = F.regexp_extract_all(
+        body, F.lit(r"(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), F.lit(1)
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, r"(?is)<loc>\s*([^<]+?)\s*</loc>", 1).alias(
+                "loc"
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    b, r"(?is)<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+                ),
+                F.lit(""),
+            ).alias("lastmod"),
+        ),
+    )
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(F.array_distinct(entries)).alias("e"),
+        )
+        .filter(F.col("e.loc") != "")
+        .select("src_url", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+    )
+
+
 def sitemap_urls_from_robots(robots_txt: DataFrame) -> DataFrame:
     """(host, robots_txt) → (host, sitemap_url): the 'Sitemap:' lines
     REP files advertise (RFC 9309 §2.3 'other records') — the standard

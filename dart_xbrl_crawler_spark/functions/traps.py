@@ -99,3 +99,30 @@ def trap_features(
 def is_trap(url_canon: Column, **kw) -> Column:
     """Boolean gate: any trap rule tripped."""
     return trap_features(url_canon, **kw)["trap_reason"].isNotNull()
+
+
+# the extensions a text-focused crawler (CCBot-style) skips at
+# DISCOVERY time: styling/code/fonts and bulk media whose bytes the
+# text pipeline would fetch only to discard.  Deliberately NOT
+# including .pdf/.doc (convertible documents) — dropping those is a
+# pipeline policy, not frontier hygiene.
+ASSET_EXTENSIONS = (
+    "css", "js", "mjs", "map",
+    "png", "jpg", "jpeg", "gif", "ico", "svg", "webp", "bmp",
+    "woff", "woff2", "ttf", "otf", "eot",
+    "mp3", "mp4", "avi", "mov", "webm", "wav", "ogg", "mkv",
+    "zip", "gz", "tar", "bz2", "7z", "rar", "exe", "dmg", "iso",
+)
+
+
+def is_static_asset(
+    url_canon: Column, extensions: tuple[str, ...] = ASSET_EXTENSIONS
+) -> Column:
+    """True when the url PATH ends in a static-asset extension (query
+    string ignored — ``/app.js?v=3`` is still an asset).  One rlike in
+    codegen; the extension test is case-insensitive and anchored at
+    path end so ``/essay.zipper.html`` never matches."""
+    alts = "|".join(extensions)
+    return F.lower(
+        F.substring_index(F.substring_index(url_canon, "?", 1), "#", 1)
+    ).rlike(rf"\.({alts})$")

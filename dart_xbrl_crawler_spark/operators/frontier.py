@@ -634,6 +634,7 @@ class FrontierStore:
         broadcast_robots: bool = True,
         respect_nofollow: bool = True,
         drop_traps: bool = True,
+        drop_assets: bool = True,
     ) -> list[dict]:
         """The reference's main orchestration loop (crawl → extract →
         repeat, /root/reference/lambda_function.py:133-221) as a
@@ -657,7 +658,12 @@ class FrontierStore:
         ``drop_traps`` (default on, Heritrix-style) gates discovered
         links through functions.traps.is_trap BEFORE the dedup
         shuffle — calendar descents, segment-echo loops, and facet
-        grids never reach the frontier (or the seen-filter)."""
+        grids never reach the frontier (or the seen-filter).
+
+        ``drop_assets`` (default on, CCBot-style) drops discovered
+        links whose path ends in a static-asset extension (css/js/
+        media/archives — functions.traps.is_static_asset); a text
+        crawl would fetch those bytes only to discard them."""
         from ..functions.links import extract_links
 
         summaries: list[dict] = []
@@ -667,7 +673,7 @@ class FrontierStore:
                 salt_buckets, max_per_host, n_partitions, discover,
                 text_out, backoff_factor, priority_decay, extract_links,
                 summaries, broadcast_robots, respect_nofollow,
-                drop_traps,
+                drop_traps, drop_assets,
             )
         finally:
             self.release()
@@ -678,6 +684,7 @@ class FrontierStore:
         salt_buckets, max_per_host, n_partitions, discover, text_out,
         backoff_factor, priority_decay, extract_links, summaries,
         broadcast_robots=True, respect_nofollow=True, drop_traps=True,
+        drop_assets=True,
     ) -> None:
         for rid in range(max_rounds):
             # compact the metrics chains BETWEEN rounds, never inside
@@ -766,6 +773,10 @@ class FrontierStore:
                     from ..functions.traps import is_trap
 
                     links = links.filter(~is_trap(F.col("link")))
+                if drop_assets:
+                    from ..functions.traps import is_static_asset
+
+                    links = links.filter(~is_static_asset(F.col("link")))
                 discovered = (
                     links.groupBy(F.col("link").alias("url"))
                     .agg(

@@ -2576,3 +2576,119 @@ def q72(spark, sf):
         .drop("_nr", "_nm")
         .orderBy("url_id")
     )
+
+
+# =====================================================================
+# sitemap lastmod entries — sitemaps.org pairs each <loc> with an
+# optional <lastmod>; that hint feeds the recrawl policy directly (a
+# stored row older than the advertised lastmod re-queues; q63's
+# change-rate estimate covers urls without the hint).  Extraction is
+# one regexp block-walk in codegen (functions/links.
+# extract_sitemap_entries): <url>/<sitemap> blocks → per-block loc +
+# nullable lastmod.  The oracle states the EXPECTED rows from the same
+# construction (q68 style), so the test pins extraction semantics
+# end-to-end — including trim, the missing-lastmod null, and the
+# two-entries-per-page explode.
+# =====================================================================
+@query(
+    "q73_sitemap_lastmod",
+    """
+    WITH k AS (SELECT o_orderkey AS key FROM orders
+               WHERE o_orderkey % 6 = 1),
+    first_entry AS (
+      SELECT 'https://sm.ex/m' || CAST(key AS VARCHAR) AS src_url,
+             'https://sm.ex/p' || CAST(key AS VARCHAR) AS loc,
+             CASE WHEN key % 3 = 0
+                  THEN '2026-0' || CAST(key % 9 + 1 AS VARCHAR) || '-15'
+                  ELSE NULL END AS lastmod
+      FROM k),
+    second_entry AS (
+      SELECT 'https://sm.ex/m' || CAST(key AS VARCHAR) AS src_url,
+             'https://sm.ex/q' || CAST(key AS VARCHAR) AS loc,
+             CAST(NULL AS VARCHAR) AS lastmod
+      FROM k WHERE key % 4 = 0)
+    SELECT * FROM first_entry UNION ALL SELECT * FROM second_entry
+    ORDER BY src_url, loc
+    """,
+)
+def q73(spark, sf):
+    from ..functions.links import extract_sitemap_entries
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 6 == 1)
+    key = F.col("o_orderkey").cast("string")
+    lastmod = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(
+            F.lit("<lastmod> 2026-0"),
+            ((F.col("o_orderkey") % 9) + 1).cast("string"),
+            F.lit("-15 </lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    block2 = F.when(
+        F.col("o_orderkey") % 4 == 0,
+        F.concat(
+            F.lit("<url><loc>https://sm.ex/q"), key, F.lit("</loc></url>")
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<urlset><url><loc> https://sm.ex/p"), key, F.lit(" </loc>"),
+        lastmod, F.lit("</url>"), block2, F.lit("</urlset>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("https://sm.ex/m"), key).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    return extract_sitemap_entries(pages).orderBy("src_url", "loc")
+
+
+# =====================================================================
+# static-asset url filter — CCBot-style discovery hygiene (functions/
+# traps.is_static_asset): a text crawl drops css/js/media/archive
+# links at discovery (one case-insensitive rlike on the path, query
+# string ignored), so those bytes are never fetched.  run_crawl(
+# drop_assets=True, default on; --keep-assets).  The oracle states the
+# expected flag from the construction: extension membership decides,
+# '.PDF' (convertible document) and '.zipper.html' (guard: extension
+# anchored at path end) stay followable.
+# =====================================================================
+@query(
+    "q74_asset_filter",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS key,
+        CASE o_orderkey % 7 WHEN 0 THEN '.css' WHEN 1 THEN '.js'
+          WHEN 2 THEN '.png' WHEN 3 THEN '.zipper.html' WHEN 4 THEN ''
+          WHEN 5 THEN '.zip' ELSE '.PDF' END AS ext
+      FROM orders)
+    SELECT 'https://a' || CAST(key % 13 AS VARCHAR) || '.ex/f' ||
+             CAST(key AS VARCHAR) || ext ||
+             CASE WHEN key % 2 = 0
+                  THEN '?v=' || CAST(key % 5 AS VARCHAR) ELSE '' END
+             AS url,
+           ext IN ('.css', '.js', '.png', '.zip') AS is_asset
+    FROM u ORDER BY url
+    """,
+)
+def q74(spark, sf):
+    from ..functions.traps import is_static_asset
+
+    o = _t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    ext = (
+        F.when(key % 7 == 0, ".css").when(key % 7 == 1, ".js")
+        .when(key % 7 == 2, ".png").when(key % 7 == 3, ".zipper.html")
+        .when(key % 7 == 4, "").when(key % 7 == 5, ".zip")
+        .otherwise(".PDF")
+    )
+    url = F.concat(
+        F.lit("https://a"), (key % 13).cast("string"), F.lit(".ex/f"),
+        key.cast("string"), ext,
+        F.when(
+            key % 2 == 0, F.concat(F.lit("?v="), (key % 5).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        o.select(url.alias("url"))
+        .withColumn("is_asset", is_static_asset(F.col("url")))
+        .orderBy("url")
+    )

@@ -172,3 +172,13 @@ def test_host_quality_single_aggregate(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_and_asset_queries_mapside(spark):
+    """q73/q74: block-walk extraction and the asset flag are map-only —
+    no join, no window, no python worker in either plan."""
+    for name in ("q73_sitemap_lastmod", "q74_asset_filter"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, name

@@ -1524,3 +1524,95 @@ def test_curate_host_gate(spark):
     corpus2, stats2 = curate(pages)
     assert corpus2.count() == 7
     assert "host_pass" not in {r["stage"] for r in stats2.collect()}
+
+
+def test_sitemap_entries_lastmod(spark):
+    from dart_xbrl_crawler_spark.functions.links import (
+        extract_sitemap_entries,
+    )
+
+    body = (
+        "<urlset>"
+        "<url><loc> https://s.ex/a </loc>"
+        "<lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>https://s.ex/b</loc></url>"
+        "</urlset>"
+    ).encode()
+    index = (
+        "<sitemapindex><sitemap><loc>https://s.ex/child.xml</loc>"
+        "<lastmod> 2026-01-02T03:04:05Z </lastmod></sitemap></sitemapindex>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://s.ex/sitemap.xml", body),
+         ("https://s.ex/index.xml", index),
+         ("https://s.ex/bin", b"\xff\xfe\x00garbage")],
+        schema="url string, html binary",
+    )
+    rows = {
+        (r["src_url"], r["loc"]): r["lastmod"]
+        for r in extract_sitemap_entries(df).collect()
+    }
+    assert rows == {
+        ("https://s.ex/sitemap.xml", "https://s.ex/a"): "2026-03-01",
+        ("https://s.ex/sitemap.xml", "https://s.ex/b"): None,
+        ("https://s.ex/index.xml", "https://s.ex/child.xml"):
+            "2026-01-02T03:04:05Z",
+    }
+
+
+def test_is_static_asset_rules(spark):
+    from pyspark.sql import functions as F
+    from dart_xbrl_crawler_spark.functions.traps import is_static_asset
+
+    cases = {
+        "https://h.ex/app.js": True,
+        "https://h.ex/app.js?v=3": True,          # query ignored
+        "https://h.ex/style.CSS": True,           # case-insensitive
+        "https://h.ex/movie.mp4#t=30": True,      # fragment ignored
+        "https://h.ex/essay.zipper.html": False,  # anchored at path end
+        "https://h.ex/paper.pdf": False,          # convertible document
+        "https://h.ex/page": False,
+        "https://h.ex/download?file=x.zip": False,  # extension in query
+    }
+    df = spark.createDataFrame([(u,) for u in cases], schema="url string")
+    got = {
+        r["url"]: r["a"]
+        for r in df.select("url", is_static_asset(F.col("url")).alias("a")).collect()
+    }
+    assert got == cases
+
+
+def test_crawl_drops_asset_links(spark, tmp_path):
+    import pandas as pd
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark import fixtures
+
+    html = (
+        '<a href="/next.html">n</a><a href="/theme.css">c</a>'
+        '<a href="/vid.mp4">v</a>'
+    ).encode()
+    seed_url = "https://as.ex/start"
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": [seed_url], "html": [html],
+                      "warc_ts": [pd.Timestamp("2026-01-01")]}),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("as.ex", None, 1)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    for drop, expect in ((True, 0), (False, 2)):
+        store = FrontierStore(str(tmp_path / f"a_{drop}"), n_bloom_shards=4)
+        store.bootstrap(
+            spark.createDataFrame(
+                pd.DataFrame({"url": [seed_url], "priority": [0.0]})
+            ),
+            fixtures.RUN_TS,
+        )
+        store.run_crawl(spark, pages, robots, fixtures.RUN_TS,
+                        max_rounds=1, drop_assets=drop)
+        urls = [r["url_canon"]
+                for r in store.table.read(spark).select("url_canon").collect()]
+        n_assets = sum(u.endswith((".css", ".mp4")) for u in urls)
+        assert n_assets == expect, (drop, urls)
+        assert any("next.html" in u for u in urls)
