@@ -1136,3 +1136,241 @@ def extract_video_stats(
             yield out
 
     return src.mapInPandas(run, schema=VIDEO_STATS)
+
+
+# =====================================================================
+# image resize + perceptual hash — the remaining named multimodal
+# pipeline steps (SURVEY brief: "decode / feature-extract / resize /
+# frame-sample"): a deterministic numpy resize (model-input prep) and
+# a REAL 64-bit DCT pHash over decoded pixels, the standard image
+# near-dup key (same shape as SimHash text dedup: banded equality
+# join, exact hamming confirm — never an all-pairs distance).
+#
+# Reference analog: none (filings crawler); additive for the
+# Common-Crawl-media training pipeline.
+# =====================================================================
+
+
+def resize_image(
+    px: np.ndarray, out_h: int, out_w: int, method: str = "bilinear"
+) -> np.ndarray:
+    """Deterministic (H, W, C) uint8 resize in pure numpy.
+
+    ``nearest``: index mapping by pixel-center rounding.  ``bilinear``:
+    align-corners=False convention (the default of every training
+    framework) with edge clamping.  No RNG, no platform-dependent SIMD
+    path — byte-identical everywhere, so resized tensors are safe to
+    content-hash."""
+    h, w = px.shape[:2]
+    if method == "nearest":
+        ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return px[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0).reshape(-1, 1, 1)
+    wx = np.clip(fx - x0, 0.0, 1.0).reshape(1, -1, 1)
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _dct_basis_n(n: int) -> np.ndarray:
+    """Orthonormal NxN DCT-II basis (the 8x8 JPEG basis generalized)."""
+    k = np.arange(n).reshape(n, 1)
+    m = np.arange(n).reshape(1, n)
+    a = np.cos((2 * m + 1) * k * np.pi / (2.0 * n)) * np.sqrt(2.0 / n)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_PHASH_A = _dct_basis_n(32)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → 32x32 bilinear → 2D DCT →
+    top-left 8x8 low-frequency block → bit i set iff coeff > median
+    (DC term excluded from the median so flat images don't flip on
+    noise).  Hamming distance ≤ ~10 ⇔ perceptually near-identical.
+
+    Degenerate-input caveat (inherent to pHash, not this
+    implementation): an image with NO low-frequency structure (pure
+    high-frequency synthetic patterns — sawtooth gradients, noise)
+    leaves all 63 AC coefficients clustered at ≈0, so quantization-
+    level perturbations flip many bits.  Photographic content has
+    low-frequency energy and behaves; verified by the smooth-vs-
+    sawtooth pair in the tests."""
+    if px.ndim == 3 and px.shape[2] >= 3:
+        # BT.601 luma, same weights as the JPEG path
+        g = (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1].astype(np.float64)
+            + 0.114 * px[:, :, 2].astype(np.float64)
+        )
+        g = np.clip(np.rint(g), 0, 255).astype(np.uint8)[:, :, None]
+    else:
+        # gray / gray+alpha: luma IS channel 0
+        g = px[:, :, :1] if px.ndim == 3 else px.reshape(
+            px.shape[0], px.shape[1], 1
+        )
+    small = resize_image(g, 32, 32, "bilinear")[:, :, 0].astype(np.float64)
+    coeffs = _PHASH_A @ small @ _PHASH_A.T
+    block = coeffs[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # surface as SIGNED 64-bit (Spark LongType) — bit 63 is the sign
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+PHASH_OUT = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def extract_phash(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """(url, media_type, phash): REAL decode (PNG/JPEG/GIF) → pHash.
+    Non-image rows filtered JVM-side before Arrow; undecodable
+    payloads yield null (error path is data)."""
+    src = (
+        sniff_media(df, binary_col)
+        .filter(F.col("media_type").isin("image/png", "image/jpeg", "image/gif"))
+        .select("url", binary_col, "media_type")
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = {"image/png": decode_png, "image/jpeg": decode_jpeg,
+               "image/gif": decode_gif}
+        for pdf in it:
+            hashes = []
+            for payload, mt in zip(pdf[binary_col], pdf["media_type"]):
+                px = dec[mt](bytes(payload) if payload is not None else b"")
+                hashes.append(None if px is None else phash64(px))
+            yield pd.DataFrame(
+                {"url": pdf["url"], "media_type": pdf["media_type"],
+                 "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return src.mapInPandas(run, schema=PHASH_OUT)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 10, n_bands: int = 4
+) -> DataFrame:
+    """(url_a, url_b, hamming) for image pairs within ``max_hamming``
+    bits — the SimHash pigeonhole construction over pHash keys: split
+    64 bits into ``n_bands`` bands; any pair within max_hamming < 16·k
+    differing bits must agree on ≥1 full 16-bit band, so candidates
+    come from a banded EQUALITY join (never an all-pairs distance),
+    then one xor+bit_count confirms exactly.  Pure Catalyst after the
+    hash extraction."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashed.filter(F.col("phash").isNotNull()).select("url", "phash")
+    bands = h.select(
+        "url", "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("url", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.select(
+        F.col("url").alias("url_a"), F.col("phash").alias("ph_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("url").alias("url_b"), F.col("phash").alias("ph_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+THUMB_OUT = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def extract_thumbnails(
+    df: DataFrame, out_h: int, out_w: int, binary_col: str = "html",
+    method: str = "bilinear",
+) -> DataFrame:
+    """Model-input prep: REAL decode → deterministic resize →
+    row-major uint8 tensor bytes (H·W·C), dims surfaced as columns so
+    a reader reshapes without sniffing.  Undecodable payloads yield
+    null pixels (error path is data); non-images never cross Arrow."""
+    src = (
+        sniff_media(df, binary_col)
+        .filter(F.col("media_type").isin("image/png", "image/jpeg", "image/gif"))
+        .select("url", binary_col, "media_type")
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = {"image/png": decode_png, "image/jpeg": decode_jpeg,
+               "image/gif": decode_gif}
+        for pdf in it:
+            rows = []
+            for url, payload, mt in zip(
+                pdf["url"], pdf[binary_col], pdf["media_type"]
+            ):
+                px = dec[mt](bytes(payload) if payload is not None else b"")
+                if px is None:
+                    rows.append({"url": url, "media_type": mt, "width": None,
+                                 "height": None, "n_channels": None,
+                                 "pixels": None})
+                else:
+                    t = resize_image(px, out_h, out_w, method)
+                    rows.append({
+                        "url": url, "media_type": mt,
+                        "width": int(t.shape[1]), "height": int(t.shape[0]),
+                        "n_channels": int(t.shape[2]),
+                        "pixels": t.tobytes(),
+                    })
+            out = pd.DataFrame(
+                rows, columns=["url", "media_type", "width", "height",
+                               "n_channels", "pixels"],
+            )
+            for c in ("width", "height", "n_channels"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return src.mapInPandas(run, schema=THUMB_OUT)

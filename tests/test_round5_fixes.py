@@ -1616,3 +1616,140 @@ def test_crawl_drops_asset_links(spark, tmp_path):
         n_assets = sum(u.endswith((".css", ".mp4")) for u in urls)
         assert n_assets == expect, (drop, urls)
         assert any("next.html" in u for u in urls)
+
+
+# ------------------------- image resize + perceptual hash (multimodal)
+def _gradient_rgb(h, w, seed=0):
+    import numpy as np
+
+    y = np.arange(h).reshape(h, 1)
+    x = np.arange(w).reshape(1, w)
+    r = ((2 * y + 3 * x + seed) % 256).astype(np.uint8)
+    g = ((5 * y + x + 2 * seed) % 256).astype(np.uint8)
+    b = ((y + 7 * x) % 256).astype(np.uint8)
+    return np.dstack([r, g, b])
+
+
+def test_resize_image_nearest_and_bilinear():
+    import numpy as np
+    from dart_xbrl_crawler_spark.operators.multimodal import resize_image
+
+    px = _gradient_rgb(16, 24)
+    # identity: same dims returns the same pixels for both methods
+    assert np.array_equal(resize_image(px, 16, 24, "nearest"), px)
+    assert np.array_equal(resize_image(px, 16, 24, "bilinear"), px)
+    # nearest 2x downscale = picking the center-right/bottom sample
+    dn = resize_image(px, 8, 12, "nearest")
+    assert dn.shape == (8, 12, 3)
+    assert np.array_equal(dn, px[1::2, 1::2])
+    # bilinear 2x downscale of a LINEAR ramp = exact average of the 2x2
+    ramp = np.tile(np.arange(0, 64, 2, dtype=np.uint8), (4, 1))[:, :, None]
+    db = resize_image(ramp, 2, 16, "bilinear")
+    expected = ((ramp[0, ::2].astype(int) + ramp[0, 1::2].astype(int) + 1) // 2)
+    assert db.shape == (2, 16, 1)
+    assert np.array_equal(db[0, :, 0], expected[:, 0] if expected.ndim > 1 else expected)
+    # upscale keeps corner values under edge clamping
+    up = resize_image(px, 32, 48, "bilinear")
+    assert up.shape == (32, 48, 3)
+    assert tuple(up[0, 0]) == tuple(px[0, 0])
+    assert tuple(up[-1, -1]) == tuple(px[-1, -1])
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_image(px, 4, 4, "bicubic")
+
+
+def _smooth_rgb(h, w, phase=0.0):
+    """Photo-like low-frequency content — pHash's operating regime
+    (a sawtooth/noise image has no low-freq energy and is the
+    documented degenerate input)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (127 + 90 * np.cos(y / 7.0 + phase) * np.sin(x / 5.0)).astype(np.uint8)
+    g = (127 + 80 * np.sin((x + y) / 9.0 + phase)).astype(np.uint8)
+    b = (127 + 70 * np.cos(x / 11.0 - phase)).astype(np.uint8)
+    return np.dstack([r, g, b])
+
+
+def test_phash_invariance_and_separation():
+    import numpy as np
+    from dart_xbrl_crawler_spark.operators.multimodal import phash64
+
+    base = _smooth_rgb(64, 64)
+    h0 = phash64(base)
+    # mild noise: a few bits at most
+    rng = np.random.RandomState(7)
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-6, 7, base.shape), 0, 255
+    ).astype(np.uint8)
+    h1 = phash64(noisy)
+    # resized copy hashes close (scale invariance)
+    from dart_xbrl_crawler_spark.operators.multimodal import resize_image
+
+    h2 = phash64(resize_image(base, 128, 96, "bilinear"))
+    # structurally different image hashes far
+    h3 = phash64(np.ascontiguousarray(_smooth_rgb(64, 64, phase=2.2)[::-1]))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) <= 10
+    assert ham(h0, h2) <= 10
+    assert ham(h0, h3) > 16
+    # signed-long contract: value fits Spark LongType
+    for h in (h0, h1, h2, h3):
+        assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_phash_near_dup_pairs_spark(spark):
+    import numpy as np
+    from dart_xbrl_crawler_spark.operators.multimodal import (
+        extract_phash,
+        phash_near_dup_pairs,
+    )
+    from tests.test_round4_fixes import _png_encode
+
+    base = _smooth_rgb(32, 32)
+    near = np.clip(base.astype(int) + 2, 0, 255).astype(np.uint8)
+    far = np.ascontiguousarray(_smooth_rgb(32, 32, phase=2.2)[::-1])
+    rows = [
+        ("https://i.ex/a.png", _png_encode(base, [0] * 32)),
+        ("https://i.ex/b.png", _png_encode(near, [0] * 32)),
+        ("https://i.ex/c.png", _png_encode(far, [0] * 32)),
+        ("https://i.ex/broken.png", b"\x89PNG\r\n\x1a\ngarbage"),
+        ("https://i.ex/not-image", b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, html binary")
+    hashed = extract_phash(df)
+    got = {r["url"]: r["phash"] for r in hashed.collect()}
+    assert got["https://i.ex/broken.png"] is None
+    assert "https://i.ex/not-image" not in got  # filtered JVM-side
+    pairs = {
+        (r["url_a"], r["url_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashed, max_hamming=10).collect()
+    }
+    assert ("https://i.ex/a.png", "https://i.ex/b.png") in pairs
+    assert all("c.png" not in a and "c.png" not in b for a, b in pairs)
+
+
+def test_extract_thumbnails_roundtrip(spark):
+    import numpy as np
+    from dart_xbrl_crawler_spark.operators.multimodal import (
+        extract_thumbnails,
+        resize_image,
+    )
+    from tests.test_round4_fixes import _png_encode
+
+    base = _gradient_rgb(20, 28)
+    df = spark.createDataFrame(
+        [("https://t.ex/a.png", _png_encode(base, [0] * 20)),
+         ("https://t.ex/bad.png", b"\x89PNG\r\n\x1a\nnope")],
+        schema="url string, html binary",
+    )
+    out = {r["url"]: r for r in extract_thumbnails(df, 8, 8).collect()}
+    good = out["https://t.ex/a.png"]
+    assert (good["height"], good["width"], good["n_channels"]) == (8, 8, 3)
+    got = np.frombuffer(good["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, resize_image(base, 8, 8, "bilinear"))
+    assert out["https://t.ex/bad.png"]["pixels"] is None
