@@ -316,7 +316,21 @@ class BucketedMergeTable:
 
     Iceberg analog: ``bucket(N, url_hash)`` hidden partitioning with
     merge-on-read deletes + storage-partitioned joins; this is the same
-    layout expressed through Spark's bucketed-table catalog."""
+    layout expressed through Spark's bucketed-table catalog.
+
+    Warehouse-layout contract (real-metastore deployments): the base
+    is registered as an EXTERNAL bucketed table at an explicit
+    ``location`` under ``self.path`` (recorded in the manifest, so
+    ``_ensure_registered`` re-registers after catalog loss — e.g. a
+    fresh session with a default in-memory catalog).  ``expire``/
+    ``compact`` GC by DELETING those location directories directly;
+    with a shared Hive/Glue metastore, point ``path`` at storage this
+    store exclusively owns — the store assumes nothing else writes
+    under it, and a catalog-managed (non-external) table of the same
+    name would not survive its warehouse-side deletes.  The Iceberg
+    deployment path avoids hand-managed locations entirely:
+    IcebergMergeTable below delegates GC to the catalog's own
+    snapshot expiry."""
 
     def __init__(
         self,

@@ -1753,3 +1753,54 @@ def test_extract_thumbnails_roundtrip(spark):
     got = np.frombuffer(good["pixels"], dtype=np.uint8).reshape(8, 8, 3)
     assert np.array_equal(got, resize_image(base, 8, 8, "bilinear"))
     assert out["https://t.ex/bad.png"]["pixels"] is None
+
+
+def test_trap_features_match_python_reference(spark):
+    """Randomized cross-check: trap_features (Catalyst array logic) ≡
+    an independent python reference over 400 generated urls mixing
+    depths, repeats, params, lengths, and edge shapes."""
+    import random
+    from pyspark.sql import functions as F
+    from dart_xbrl_crawler_spark.functions.traps import trap_features
+
+    rng = random.Random(42)
+    segs_pool = ["a", "b", "cal", "2026", "x1", "p", "item", "s"]
+    urls = []
+    for i in range(400):
+        host = f"h{rng.randrange(9)}.ex"
+        depth = rng.randrange(0, 16)
+        segs = [rng.choice(segs_pool) for _ in range(depth)]
+        path = "/" + "/".join(segs) if segs else "/"
+        q = ""
+        if rng.random() < 0.5:
+            q = "?" + "&".join(
+                f"k{j}={j}" for j in range(rng.randrange(1, 14))
+            )
+        pad = "z" * rng.randrange(0, 600) if rng.random() < 0.1 else ""
+        urls.append(f"https://{host}{path}{pad}{q}")
+
+    def ref(url):
+        rest = url.split("://", 1)[1]
+        qpos = rest.find("?")
+        ph, qs = (rest[:qpos], rest[qpos + 1:]) if qpos >= 0 else (rest, "")
+        segs = [s for s in ph.split("/")[1:] if s != ""]
+        depth = len(segs)
+        rep = max((segs.count(s) for s in segs), default=0)
+        n_params = 0 if qs == "" else len(qs.split("&"))
+        ln = len(url)
+        if depth > 12: reason = "depth"
+        elif rep > 3: reason = "segment_repeat"
+        elif n_params > 10: reason = "params"
+        elif ln > 512: reason = "length"
+        else: reason = None
+        return (depth, rep, n_params, ln, reason)
+
+    df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    feats = trap_features(F.col("url"))
+    got = {
+        r["url"]: (r["path_depth"], r["max_segment_repeat"], r["n_params"],
+                   r["url_len"], r["trap_reason"])
+        for r in df.select("url", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    mismatches = [(u, got[u], ref(u)) for u in urls if got[u] != ref(u)]
+    assert not mismatches, mismatches[:5]
