@@ -1374,3 +1374,34 @@ def extract_thumbnails(
             yield out
 
     return src.mapInPandas(run, schema=THUMB_OUT)
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit gray/RGB/RGBA, filter 0, one zlib
+    IDAT) — the inverse of decode_png for thumbnail sinks and
+    deterministic image fixtures.  Round-trips exactly: decode_png(
+    encode_png(px)) == px."""
+    import struct
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

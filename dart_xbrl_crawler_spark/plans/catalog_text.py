@@ -2692,3 +2692,65 @@ def q74(spark, sf):
         .withColumn("is_asset", is_static_asset(F.col("url")))
         .orderBy("url")
     )
+
+
+# =====================================================================
+# image near-dup via perceptual hash — the multimodal dedup entry
+# (operators/multimodal: encode_png fixture synth → REAL decode_png →
+# phash64 → banded pair join).  Rows-only by design: pixel decode has
+# no DuckDB twin; exactness is pinned by the planted-pair pytest
+# (smooth base vs +noise copy pairs, structurally-different images
+# never pair).  Scale shape: hashing is map-only over Arrow batches;
+# candidate pairs come from a 16-bit-band equality join (the SimHash
+# pigeonhole), never an all-pairs distance.
+# =====================================================================
+@query("q75_image_neardup", None)
+def q75(spark, sf):
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_png,
+        extract_phash,
+        phash_near_dup_pairs,
+    )
+
+    ids = (
+        _t(spark, sf, "orders")
+        .select((F.col("o_orderkey") % 40).alias("img_id"))
+        .distinct()
+        .orderBy("img_id")
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for img_id in pdf["img_id"]:
+                k = int(img_id)
+                y, x = np.mgrid[0:24, 0:24]
+                base = np.dstack(
+                    [
+                        127 + 90 * np.cos(y / (3.0 + k % 7)) * np.sin(x / 5.0),
+                        127 + 80 * np.sin((x + y) / (4.0 + k % 5)),
+                        127 + 70 * np.cos(x / (6.0 + k % 3)),
+                    ]
+                )
+                base = np.clip(np.rint(base), 0, 255).astype(np.uint8)
+                rows.append(
+                    {"url": f"https://img.ex/{k}.png",
+                     "html": encode_png(base)}
+                )
+                if k % 4 == 0:  # planted near-dup: deterministic +2 shift
+                    near = np.clip(base.astype(int) + 2, 0, 255).astype(
+                        np.uint8
+                    )
+                    rows.append(
+                        {"url": f"https://img.ex/{k}-copy.png",
+                         "html": encode_png(near)}
+                    )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = ids.mapInPandas(synth, schema="url string, html binary")
+    pairs = phash_near_dup_pairs(extract_phash(pages), max_hamming=10)
+    return pairs.orderBy("url_a", "url_b")

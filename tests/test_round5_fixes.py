@@ -1804,3 +1804,35 @@ def test_trap_features_match_python_reference(spark):
     }
     mismatches = [(u, got[u], ref(u)) for u in urls if got[u] != ref(u)]
     assert not mismatches, mismatches[:5]
+
+
+def test_encode_png_roundtrip_exact():
+    import numpy as np
+    from dart_xbrl_crawler_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for shape in ((5, 7, 1), (6, 4, 3), (3, 3, 4), (8, 8, 2)):
+        px = (np.arange(np.prod(shape)).reshape(shape) * 7 % 256).astype(
+            np.uint8
+        )
+        back = decode_png(encode_png(px))
+        assert back is not None and np.array_equal(back, px), shape
+
+
+def test_q75_finds_planted_image_copies(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["q75_image_neardup"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    copies = {
+        (r["url_a"], r["url_b"]): r["hamming"]
+        for r in rows
+        if r["url_a"].replace(".png", "-copy.png") == r["url_b"]
+        or r["url_b"].replace(".png", "-copy.png") == r["url_a"]
+    }
+    # every planted +2 copy (img ids ≡ 0 mod 4 of 0..39) pairs tightly
+    assert len(copies) == 10
+    assert all(h <= 4 for h in copies.values()), copies
