@@ -252,6 +252,67 @@ def extract_sitemap_entries(
     )
 
 
+def extract_feed_entries(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """RSS/Atom feed pages → (src_url, link, published): the OTHER
+    standing discovery channel next to sitemaps — feeds advertise new
+    urls with a publication timestamp, which seeds the frontier at
+    high freshness priority.
+
+    One regexp block-walk in codegen: RSS ``<item>`` blocks yield
+    ``<link>text</link>`` + optional ``<pubDate>``; Atom ``<entry>``
+    blocks yield ``<link href="…">`` (any quote style) + optional
+    ``<updated>``/``<published>``.  Missing timestamps surface as
+    null."""
+    body = decode_permissive(F.col(html_col))
+    blocks = F.regexp_extract_all(
+        body, F.lit(r"(?is)<(?:item|entry)[\s>](.*?)</(?:item|entry)>"),
+        F.lit(1),
+    )
+
+    def _first(b, pats):
+        out = F.lit("")
+        for p in pats:
+            v = F.regexp_extract(b, p, 1)
+            out = F.when(out == "", v).otherwise(out)
+        return out
+
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _first(
+                b,
+                (
+                    r'(?is)<link[^>]*href\s*=\s*"([^"]+)"',
+                    r"(?is)<link[^>]*href\s*=\s*'([^']+)'",
+                    r"(?is)<link>\s*([^<]+?)\s*</link>",
+                ),
+            ).alias("link"),
+            F.nullif(
+                _first(
+                    b,
+                    (
+                        r"(?is)<pubdate>\s*([^<]+?)\s*</pubdate>",
+                        r"(?is)<updated>\s*([^<]+?)\s*</updated>",
+                        r"(?is)<published>\s*([^<]+?)\s*</published>",
+                    ),
+                ),
+                F.lit(""),
+            ).alias("published"),
+        ),
+    )
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(F.array_distinct(entries)).alias("e"),
+        )
+        .filter(F.col("e.link") != "")
+        .select("src_url", F.col("e.link").alias("link"),
+                F.col("e.published").alias("published"))
+    )
+
+
 def sitemap_urls_from_robots(robots_txt: DataFrame) -> DataFrame:
     """(host, robots_txt) → (host, sitemap_url): the 'Sitemap:' lines
     REP files advertise (RFC 9309 §2.3 'other records') — the standard

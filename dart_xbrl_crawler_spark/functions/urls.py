@@ -184,3 +184,53 @@ def surt_key(url_canon: F.Column, host: F.Column) -> F.Column:
             query.isNotNull() & (query != ""), F.concat(F.lit("?"), qsorted)
         ).otherwise(F.lit("")),
     )
+
+
+# Two-level public suffixes common enough to matter for grouping; the
+# full Mozilla PSL is a data file a deployment can swap in — this
+# compact built-in covers the frequent ccTLD second-level registries.
+_TWO_LEVEL_SUFFIXES = (
+    "co.kr", "or.kr", "go.kr", "ne.kr", "re.kr", "ac.kr", "pe.kr",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "net.tw",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.za", "org.za", "net.za",
+    "com.mx", "org.mx", "net.mx",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.my",
+)
+
+
+def registered_domain(host: F.Column) -> F.Column:
+    """eTLD+1-style registrable domain, pure Catalyst: the politeness /
+    budget grouping key one level above host (every subdomain of
+    ``dart.fss.or.kr`` shares ``fss.or.kr``'s budget).
+
+    Rule: ≤2 labels → the host itself; else if the last TWO labels
+    form a known two-level public suffix → last THREE labels, else
+    last TWO.  The suffix table is the compact built-in above (swap in
+    the full PSL as a broadcast dim for exactness at deployment); IP
+    literals pass through unchanged (no dots-only-digits check needed:
+    an IPv4 'suffix' never matches the table, so the last-two rule
+    yields the IP's tail — callers group IPs by full host instead,
+    documented contract)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_two_level = last2.isin(*_TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )

@@ -2754,3 +2754,205 @@ def q75(spark, sf):
     pages = ids.mapInPandas(synth, schema="url string, html binary")
     pairs = phash_near_dup_pairs(extract_phash(pages), max_hamming=10)
     return pairs.orderBy("url_a", "url_b")
+
+
+# =====================================================================
+# extended Gopher quality rules — the word-level half of Rae et al.
+# 2021 table A1 (complements q55's repetition signals): mean word
+# length, alpha-word fraction (≥80% required), symbol-to-word ratio
+# ('#'/ellipsis ≤0.1), stopword presence (≥2 of the 8 probe words).
+# Map-only array expressions (plans/webtext.gopher_quality_cols);
+# exact-integer sums with one final division.
+# =====================================================================
+@query(
+    "q76_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, words, len(words) AS n,
+        COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+          AS total_len,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          AS n_alpha,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '…', '')))
+          + (len(string_split(text, '...')) - 1) AS n_sym,
+        (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% be %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% have %' THEN 1 ELSE 0 END
+         + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END
+        ) AS n_stop
+      FROM w)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE ROUND(total_len / CAST(n AS DOUBLE), 4)
+           END AS mean_word_len,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE ROUND(n_alpha / CAST(n AS DOUBLE), 4)
+           END AS alpha_word_frac,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE ROUND(n_sym / CAST(n AS DOUBLE), 4)
+           END AS symbol_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords
+    FROM f ORDER BY doc_id
+    """,
+)
+def q76(spark, sf):
+    from .webtext import gopher_quality_cols
+
+    d = _t(spark, sf, "documents")
+    cols = gopher_quality_cols()
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# RSS/Atom feed discovery — the standing freshness channel next to
+# sitemaps (functions/links.extract_feed_entries): <item>/<entry>
+# block walk in one codegen regexp pass, RSS <link>text</link> +
+# <pubDate> and Atom <link href> + <updated>, missing timestamps
+# null.  Expected-rows oracle (q68 style) pins the extraction
+# semantics end-to-end.
+# =====================================================================
+@query(
+    "q77_feed_entries",
+    """
+    WITH k AS (SELECT o_orderkey AS key FROM orders
+               WHERE o_orderkey % 9 = 2),
+    rss AS (
+      SELECT 'https://f.ex/rss' || CAST(key AS VARCHAR) AS src_url,
+             'https://f.ex/post' || CAST(key AS VARCHAR) AS link,
+             CASE WHEN key % 2 = 0
+                  THEN 'Mon, 0' || CAST(key % 7 + 1 AS VARCHAR)
+                       || ' Jul 2026 10:00:00 GMT'
+                  ELSE NULL END AS published
+      FROM k),
+    atom AS (
+      SELECT 'https://f.ex/rss' || CAST(key AS VARCHAR) AS src_url,
+             'https://f.ex/alt' || CAST(key AS VARCHAR) AS link,
+             CASE WHEN key % 3 = 0
+                  THEN '2026-07-0' || CAST(key % 9 + 1 AS VARCHAR)
+                       || 'T12:00:00Z'
+                  ELSE NULL END AS published
+      FROM k WHERE key % 5 = 0)
+    SELECT * FROM rss UNION ALL SELECT * FROM atom
+    ORDER BY src_url, link
+    """,
+)
+def q77(spark, sf):
+    from ..functions.links import extract_feed_entries
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 9 == 2)
+    key = F.col("o_orderkey").cast("string")
+    pubdate = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(
+            F.lit("<pubDate>Mon, 0"),
+            ((F.col("o_orderkey") % 7) + 1).cast("string"),
+            F.lit(" Jul 2026 10:00:00 GMT</pubDate>"),
+        ),
+    ).otherwise(F.lit(""))
+    atom_upd = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(
+            F.lit("<updated> 2026-07-0"),
+            ((F.col("o_orderkey") % 9) + 1).cast("string"),
+            F.lit("T12:00:00Z </updated>"),
+        ),
+    ).otherwise(F.lit(""))
+    atom_entry = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(
+            F.lit('<entry><link rel="alternate" href="https://f.ex/alt'),
+            key, F.lit('"/>'), atom_upd, F.lit("</entry>"),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<rss><channel><item><link> https://f.ex/post"), key,
+        F.lit(" </link>"), pubdate, F.lit("</item>"), atom_entry,
+        F.lit("</channel></rss>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("https://f.ex/rss"), key).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    return extract_feed_entries(pages).orderBy("src_url", "link")
+
+
+# =====================================================================
+# registrable-domain extraction (eTLD+1) — the politeness/budget
+# grouping key one level above host (functions/urls.registered_domain,
+# compact two-level-suffix table; the full PSL swaps in as a broadcast
+# dim at deployment).  Pure Catalyst: split + element_at + isin.  The
+# oracle replicates the rule with DuckDB list ops over the SAME
+# suffix table inlined.
+# =====================================================================
+@query(
+    "q78_registered_domain",
+    """
+    WITH h AS (
+      SELECT CASE o_orderkey % 6
+        WHEN 0 THEN 'dart.fss.or.kr'
+        WHEN 1 THEN 'www.example.com'
+        WHEN 2 THEN 'a.b.news.co.uk'
+        WHEN 3 THEN 'example.com'
+        WHEN 4 THEN 'localhost'
+        ELSE 'cdn' || CAST(o_orderkey % 11 AS VARCHAR) || '.media.com.au'
+      END AS host
+      FROM orders WHERE o_orderkey % 4 = 3),
+    s AS (
+      SELECT host, string_split(host, '.') AS l FROM h),
+    f AS (
+      SELECT host, len(l) AS n,
+             CASE WHEN len(l) >= 2
+                  THEN l[len(l)-1] || '.' || l[len(l)] END AS last2,
+             CASE WHEN len(l) >= 3
+                  THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+             END AS last3
+      FROM s)
+    SELECT host,
+           CASE WHEN n <= 2 THEN host
+                WHEN last2 IN ('co.kr','or.kr','go.kr','ne.kr','re.kr',
+                  'ac.kr','pe.kr','co.uk','org.uk','ac.uk','gov.uk',
+                  'me.uk','net.uk','co.jp','or.jp','ne.jp','ac.jp',
+                  'go.jp','com.au','net.au','org.au','edu.au','gov.au',
+                  'com.br','net.br','org.br','gov.br','com.cn','net.cn',
+                  'org.cn','gov.cn','edu.cn','com.tw','org.tw','net.tw',
+                  'co.in','net.in','org.in','gen.in','firm.in','co.za',
+                  'org.za','net.za','com.mx','org.mx','net.mx','com.ar',
+                  'com.tr','com.sg','com.hk','com.my')
+                THEN last3 ELSE last2 END AS domain
+    FROM f ORDER BY host, domain
+    """,
+)
+def q78(spark, sf):
+    from ..functions.urls import registered_domain
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 3)
+    host = (
+        F.when(F.col("o_orderkey") % 6 == 0, F.lit("dart.fss.or.kr"))
+        .when(F.col("o_orderkey") % 6 == 1, F.lit("www.example.com"))
+        .when(F.col("o_orderkey") % 6 == 2, F.lit("a.b.news.co.uk"))
+        .when(F.col("o_orderkey") % 6 == 3, F.lit("example.com"))
+        .when(F.col("o_orderkey") % 6 == 4, F.lit("localhost"))
+        .otherwise(
+            F.concat(
+                F.lit("cdn"), (F.col("o_orderkey") % 11).cast("string"),
+                F.lit(".media.com.au"),
+            )
+        )
+    )
+    return (
+        o.select(host.alias("host"))
+        .withColumn("domain", registered_domain(F.col("host")))
+        .orderBy("host", "domain")
+    )

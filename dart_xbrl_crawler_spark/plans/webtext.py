@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.charset import decode_html
 
-__all__ = ["lang_guess_col", "repetition_cols", "curate"]
+__all__ = ["lang_guess_col", "repetition_cols", "gopher_quality_cols", "curate"]
 
 
 def lang_guess_col(text: str = "text"):
@@ -217,3 +217,56 @@ def curate(
         _n(curated, "curated")
     )
     return curated, stats
+
+
+def gopher_quality_cols(text: str = "text"):
+    """The remaining Gopher (Rae et al. 2021, table A1) word-level
+    quality signals as map-only columns — complements repetition_cols:
+
+    * mean_word_len — exact sum(len)/count, one division
+    * alpha_word_frac — fraction of words containing ≥1 ascii letter
+      (Gopher: ≥80% required)
+    * symbol_frac — '#' and '…' (and '...') occurrences per word
+      (Gopher: ≤0.1)
+    * n_stopwords — how many of the Gopher probe stopwords (the, be,
+      to, of, and, that, have, with) appear (Gopher: ≥2)
+
+    All expressible in ANSI SQL (array logic, no regex backrefs), so
+    the DuckDB oracle runs the identical rules.
+    """
+    w = F.filter(F.split(F.trim(F.col(text)), r"\s+"), lambda x: x != "")
+    n = F.size(w)
+    total_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(total_len / n.cast("double"), 4)
+    )
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(alpha / n.cast("double"), 4)
+    )
+    hashes = F.length(F.col(text)) - F.length(
+        F.regexp_replace(F.col(text), r"#", "")
+    )
+    # '…' plus literal '...' both count as ellipsis marks
+    ell = (
+        F.length(F.col(text))
+        - F.length(F.regexp_replace(F.col(text), "…", ""))
+    ) + F.size(F.split(F.col(text), r"\.\.\.", -1)) - 1
+    symbol_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((hashes + ell) / n.cast("double"), 4)
+    )
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    padded = F.concat(F.lit(" "), F.lower(F.col(text)), F.lit(" "))
+    n_stop = None
+    for s in stops:
+        c = F.when(padded.like(f"% {s} %"), 1).otherwise(0)
+        n_stop = c if n_stop is None else n_stop + c
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_word_len,
+        "alpha_word_frac": alpha_frac,
+        "symbol_frac": symbol_frac,
+        "n_stopwords": n_stop.cast("long"),
+    }

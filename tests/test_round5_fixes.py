@@ -1836,3 +1836,75 @@ def test_q75_finds_planted_image_copies(spark):
     # every planted +2 copy (img ids ≡ 0 mod 4 of 0..39) pairs tightly
     assert len(copies) == 10
     assert all(h <= 4 for h in copies.values()), copies
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from dart_xbrl_crawler_spark.functions.links import extract_feed_entries
+
+    rss = (
+        "<rss><channel>"
+        "<item><link> https://f.ex/p1 </link>"
+        "<pubDate>Mon, 01 Jul 2026 10:00:00 GMT</pubDate></item>"
+        "<item><link>https://f.ex/p2</link></item>"
+        "</channel></rss>"
+    ).encode()
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><link rel="alternate" href="https://f.ex/a1"/>'
+        "<updated> 2026-07-02T12:00:00Z </updated></entry>"
+        "<entry><link href='https://f.ex/a2'/></entry>"
+        "</feed>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://f.ex/rss.xml", rss), ("https://f.ex/atom.xml", atom),
+         ("https://f.ex/bin", b"\x89PNG\r\n\x1a\nxx")],
+        schema="url string, html binary",
+    )
+    rows = {
+        (r["src_url"], r["link"]): r["published"]
+        for r in extract_feed_entries(df).collect()
+    }
+    assert rows == {
+        ("https://f.ex/rss.xml", "https://f.ex/p1"):
+            "Mon, 01 Jul 2026 10:00:00 GMT",
+        ("https://f.ex/rss.xml", "https://f.ex/p2"): None,
+        ("https://f.ex/atom.xml", "https://f.ex/a1"):
+            "2026-07-02T12:00:00Z",
+        ("https://f.ex/atom.xml", "https://f.ex/a2"): None,
+    }
+
+
+def test_registered_domain_rules(spark):
+    from pyspark.sql import functions as F
+    from dart_xbrl_crawler_spark.functions.urls import registered_domain
+
+    cases = {
+        "dart.fss.or.kr": "fss.or.kr",
+        "www.example.com": "example.com",
+        "a.b.news.co.uk": "news.co.uk",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "cdn7.media.com.au": "media.com.au",
+        "deep.sub.tree.example.org": "example.org",
+        "co.kr": "co.kr",  # bare suffix: ≤2 labels passes through
+    }
+    df = spark.createDataFrame([(h,) for h in cases], schema="host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_gopher_quality_cols_reference():
+    """Python-computable check of the Gopher word-level rules on known
+    strings (run through Spark in the parity test q76)."""
+    # covered via q76 oracle parity; here just assert importability and
+    # column set stability
+    from dart_xbrl_crawler_spark.plans.webtext import gopher_quality_cols
+
+    cols = gopher_quality_cols()
+    assert set(cols) == {"n_words", "mean_word_len", "alpha_word_frac",
+                         "symbol_frac", "n_stopwords"}
