@@ -211,7 +211,7 @@ def extract_sitemap_locs(pages: DataFrame, html_col: str = "html") -> DataFrame:
 
 
 def extract_sitemap_entries(
-    pages: DataFrame, html_col: str = "html"
+    pages: DataFrame, html_col: str = "html", carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """sitemap.xml urlset pages → (src_url, loc, lastmod): the per-url
     ``<lastmod>`` that sitemaps.org defines next to each ``<loc>`` — the
@@ -222,7 +222,9 @@ def extract_sitemap_entries(
     Pure Catalyst: one regexp pass pulls whole ``<url>``/``<sitemap>``
     blocks, per-block transforms pull loc and the OPTIONAL lastmod
     (null when absent — surfaced, never defaulted).  Sitemaps are flat;
-    a full XML parse buys nothing over the block walk."""
+    a full XML parse buys nothing over the block walk.  ``carry``
+    passes extra page columns through per entry (extract_links'
+    contract — cheaper than a join-back on src_url)."""
     body = decode_permissive(F.col(html_col))
     blocks = F.regexp_extract_all(
         body, F.lit(r"(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), F.lit(1)
@@ -244,16 +246,17 @@ def extract_sitemap_entries(
     return (
         pages.select(
             F.col("url").alias("src_url"),
+            *carry,
             F.explode(F.array_distinct(entries)).alias("e"),
         )
         .filter(F.col("e.loc") != "")
         .select("src_url", F.col("e.loc").alias("loc"),
-                F.col("e.lastmod").alias("lastmod"))
+                F.col("e.lastmod").alias("lastmod"), *carry)
     )
 
 
 def extract_feed_entries(
-    pages: DataFrame, html_col: str = "html"
+    pages: DataFrame, html_col: str = "html", carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """RSS/Atom feed pages → (src_url, link, published): the OTHER
     standing discovery channel next to sitemaps — feeds advertise new
@@ -305,11 +308,12 @@ def extract_feed_entries(
     return (
         pages.select(
             F.col("url").alias("src_url"),
+            *carry,
             F.explode(F.array_distinct(entries)).alias("e"),
         )
         .filter(F.col("e.link") != "")
         .select("src_url", F.col("e.link").alias("link"),
-                F.col("e.published").alias("published"))
+                F.col("e.published").alias("published"), *carry)
     )
 
 

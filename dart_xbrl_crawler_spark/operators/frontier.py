@@ -767,6 +767,33 @@ class FrontierStore:
                     carry=("priority",),
                     respect_nofollow=respect_nofollow,
                 )
+                # sitemap/feed pages are discovery channels too: their
+                # <loc>/<link> entries join the edge set with the SAME
+                # priority inheritance, carried through the explode
+                # like extract_links does (no join-back).  All three
+                # extractors are codegen regexp walks over the one
+                # fetched frame — a non-sitemap page simply yields no
+                # blocks, so this adds no extra scan and no python.
+                from ..functions.links import (
+                    extract_feed_entries,
+                    extract_sitemap_entries,
+                )
+
+                src_pages = fetched_pages.select("url", "priority", "html")
+                absolute = F.col("link").rlike("^https?://")
+                sm = (
+                    extract_sitemap_entries(src_pages, carry=("priority",))
+                    .select("src_url", F.col("loc").alias("link"), "priority")
+                    .filter(absolute)  # locs are absolute by spec
+                )
+                fd = (
+                    extract_feed_entries(src_pages, carry=("priority",))
+                    .select("src_url", "link", "priority")
+                    .filter(absolute)
+                )
+                links = links.select(
+                    "src_url", "link", "priority"
+                ).unionByName(sm).unionByName(fd)
                 if drop_traps:
                     # map-side gate BEFORE the dedup shuffle: trapped
                     # urls never cost a shuffle write or a seen-probe

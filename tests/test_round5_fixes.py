@@ -1908,3 +1908,63 @@ def test_gopher_quality_cols_reference():
     cols = gopher_quality_cols()
     assert set(cols) == {"n_words", "mean_word_len", "alpha_word_frac",
                          "symbol_frac", "n_stopwords"}
+
+
+def test_crawl_discovers_sitemap_and_feed_children(spark, tmp_path):
+    """A fetched sitemap/feed page contributes its <loc>/<link> entries
+    to the frontier with priority inheritance — all three discovery
+    channels feed one edge set."""
+    import pandas as pd
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark import fixtures
+
+    sm = (
+        "<urlset><url><loc>https://d.ex/from-sitemap</loc>"
+        "<lastmod>2026-01-01</lastmod></url></urlset>"
+    ).encode()
+    feed = (
+        "<rss><channel><item><link>https://d.ex/from-feed</link></item>"
+        "</channel></rss>"
+    ).encode()
+    html = b'<a href="/from-anchor">a</a>'
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://d.ex/sitemap.xml", "https://d.ex/feed.xml",
+                        "https://d.ex/page"],
+                "html": [sm, feed, html],
+                "warc_ts": [pd.Timestamp("2026-01-01")] * 3,
+            }
+        ),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("d.ex", None, 1)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "d"), n_bloom_shards=4)
+    store.bootstrap(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"url": ["https://d.ex/sitemap.xml",
+                         "https://d.ex/feed.xml",
+                         "https://d.ex/page"],
+                 "priority": [5.0, 4.0, 3.0]}
+            )
+        ),
+        fixtures.RUN_TS,
+    )
+    store.run_crawl(spark, pages, robots, fixtures.RUN_TS, max_rounds=1)
+    rows = {
+        r["url_canon"]: r["priority"]
+        for r in store.table.read(spark)
+        .select("url_canon", "priority").collect()
+    }
+    assert any("from-sitemap" in u for u in rows)
+    assert any("from-feed" in u for u in rows)
+    assert any("from-anchor" in u for u in rows)
+    # priority inheritance: child = parent − decay (1.0 default)
+    sm_child = next(v for u, v in rows.items() if "from-sitemap" in u)
+    fd_child = next(v for u, v in rows.items() if "from-feed" in u)
+    an_child = next(v for u, v in rows.items() if "from-anchor" in u)
+    assert (sm_child, fd_child, an_child) == (4.0, 3.0, 2.0)
