@@ -23,8 +23,9 @@ Subcommands (each one pure DataFrame job over the frontier store):
       extraction and adaptive backoff
   extract --pages <parquet> --seeds <parquet> --corp-map <parquet> --out <dir>
       extract kernel + corp join → partitioned facts sink
-  recrawl --store <dir> --before <ts>
-      re-queue rows fetched before the cutoff (freshness loop)
+  recrawl --store <dir> (--before <ts> | --hints <parquet>)
+      re-queue rows fetched before the cutoff, or exactly the urls a
+      sitemap/feed advertises as changed (freshness loop)
   expire --store <dir> --before <ts>
       tombstone old terminal rows; on a cuckoo-backed store their
       hashes also leave the seen filter (urls can resurrect)
@@ -115,8 +116,12 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("recrawl")
     r.add_argument("--store", required=True)
-    r.add_argument("--before", required=True,
+    r.add_argument("--before", default=None,
                    help="re-queue rows fetched before this 'YYYY-MM-DD HH:MM:SS'")
+    r.add_argument("--hints", default=None,
+                   help="parquet of (url, lastmod) sitemap/feed hints: "
+                        "re-queue exactly the urls whose fetch predates "
+                        "the advertised lastmod (targeted freshness)")
 
     ex = sub.add_parser("expire")
     ex.add_argument("--store", required=True)
@@ -233,7 +238,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"out": args.out}))
     elif args.cmd == "recrawl":
         store = FrontierStore(args.store)
-        n = store.recrawl(spark, args.before)
+        if (args.before is None) == (args.hints is None):
+            raise SystemExit("recrawl: exactly one of --before/--hints")
+        if args.hints:
+            n = store.recrawl_hints(spark, spark.read.parquet(args.hints))
+        else:
+            n = store.recrawl(spark, args.before)
         print(json.dumps({"requeued": n, "states": store.state_counts(spark)}))
     elif args.cmd == "expire":
         store = FrontierStore(args.store)

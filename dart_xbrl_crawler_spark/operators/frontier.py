@@ -523,6 +523,63 @@ class FrontierStore:
             )
         return n
 
+    def recrawl_hints(self, spark: SparkSession, hints) -> int:
+        """Targeted freshness: re-queue exactly the urls a sitemap/feed
+        advertises as changed (``hints`` = (url, lastmod) from
+        functions.links.extract_sitemap_entries — q73's output shape),
+        instead of recrawl()'s blanket timestamp cutoff.
+
+        Shape: canonicalize the hint urls (one Arrow batch over
+        O(|hints|) rows), one equality join on url_hash against the
+        frontier, flip rows whose fetch predates the advertised
+        lastmod.  The commit is an O(|stale|) delta; the frontier scan
+        is the join's build side at 10^10 rows — bucketed on url_hash,
+        so the hint side shuffles, the base doesn't.  Lastmod accepts
+        both W3C forms (date-only and full ISO 8601); unparseable
+        hints are dropped, surfaced by the returned count only."""
+        from ..functions.urls import with_url_canon
+
+        lastmod_ts = F.coalesce(
+            F.try_to_timestamp(F.col("lastmod")),
+            F.try_to_timestamp(
+                F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+            ),
+            F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        )
+        h = (
+            with_url_canon(hints.select("url", "lastmod"))
+            .select("url_hash", lastmod_ts.alias("_lastmod"))
+            .filter(F.col("_lastmod").isNotNull())
+            .groupBy("url_hash")
+            .agg(F.max("_lastmod").alias("_lastmod"))
+        )
+        frontier = self.table.read(spark)
+        stale = (
+            frontier.join(h, "url_hash")
+            .filter(
+                F.col("state").isin("fetched", "failed")
+                & (F.col("fetch_ts") < F.col("_lastmod"))
+            )
+            .drop("_lastmod")
+        )
+        changed = stale.withColumn("state", F.lit("queued")).withColumn(
+            "fetch_ts", F.lit(None).cast("timestamp")
+        ).localCheckpoint(eager=True)  # pin pre-commit selection
+        n = changed.count()
+        if n:
+            self.table.commit_delta(spark, changed, note="recrawl-hints")
+            self.metrics.commit(
+                changed.groupBy(
+                    F.lit(-3).alias("round_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    F.lit("queued").alias("state"),
+                )
+                .count()
+                .withColumnRenamed("count", "n"),
+                note="recrawl-hints lineage",
+            )
+        return n
+
     def expire(
         self,
         spark: SparkSession,

@@ -1968,3 +1968,58 @@ def test_crawl_discovers_sitemap_and_feed_children(spark, tmp_path):
     fd_child = next(v for u, v in rows.items() if "from-feed" in u)
     an_child = next(v for u, v in rows.items() if "from-anchor" in u)
     assert (sm_child, fd_child, an_child) == (4.0, 3.0, 2.0)
+
+
+def test_recrawl_hints_requeues_only_advertised(spark, tmp_path):
+    """Sitemap-lastmod-driven freshness: only hinted urls whose fetch
+    predates the advertised lastmod flip back to queued; unparseable
+    lastmods and fresh rows stay put."""
+    import pandas as pd
+    from dart_xbrl_crawler_spark.operators.frontier import FrontierStore
+    from dart_xbrl_crawler_spark import fixtures
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS
+
+    urls = [f"https://r.ex/p{i}" for i in range(4)]
+    pages = spark.createDataFrame(
+        pd.DataFrame({
+            "url": urls,
+            "html": [f"<html>{i}</html>".encode() for i in range(4)],
+            "warc_ts": [pd.Timestamp("2026-01-01")] * 4,
+        }),
+        schema="url string, html binary, warc_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [("r.ex", None, 1)],
+        schema="host string, disallow_prefix string, crawl_delay_ms long",
+    )
+    store = FrontierStore(str(tmp_path / "r"), n_bloom_shards=4)
+    store.bootstrap(
+        spark.createDataFrame(
+            pd.DataFrame({"url": urls, "priority": [0.0] * 4})
+        ),
+        "2026-01-02 00:00:00",
+    )
+    store.run_crawl(spark, pages, robots, "2026-01-02 00:00:00",
+                    max_rounds=1, discover=False)
+    assert store.state_counts(spark).get("fetched") == 4
+    hints = spark.createDataFrame(
+        [
+            (urls[0], "2026-02-01"),              # newer → requeue
+            (urls[1], "2026-02-01T09:30:00Z"),    # full ISO → requeue
+            (urls[2], "2025-12-01"),              # older than fetch → keep
+            (urls[3], "not-a-date"),              # unparseable → keep
+            ("https://r.ex/unknown", "2026-02-01"),  # not in frontier
+        ],
+        schema="url string, lastmod string",
+    )
+    n = store.recrawl_hints(spark, hints)
+    assert n == 2
+    counts = store.state_counts(spark)
+    assert counts.get("queued") == 2 and counts.get("fetched") == 2
+    queued = {
+        r["url_canon"]
+        for r in store.table.read(spark)
+        .filter(F.col("state") == "queued").select("url_canon").collect()
+    }
+    assert queued == {urls[0], urls[1]}
+    store.release()
