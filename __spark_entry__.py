@@ -68,7 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered entries, and a `no_oracle` query can never produce a
     # green row — so the no-oracle entries (each with a hash-green md5
     # twin or a dedicated exactness test) always register last.  With
-    # 70 oracle-backed queries, twenty must sit outside the window;
+    # 71 oracle-backed queries, twenty-one must sit outside the window;
     # queries that already earned a green driver row in a prior round
     # (CORRECTNESS_r03/r04) AND keep an in-window twin or byte-identity
     # pytest gate yield their slots so every never-driver-graded query
@@ -80,7 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q18 → r4 driver row + the frontier lineage-counter tests;
     # q37/q38 → r4 driver rows + the crawl-ordering e2e suite;
     # q03/q04 → r4 rows + seed-targeting/seen-antijoin twins (q22);
-    # q19 → r4 row + the q35/q39 windowing twins.
+    # q19 → r4 row + the q35/q39 windowing twins;
+    # q02 → r4 row + the dedicated broadcast-join plan test.
     # All demoted queries keep the identical local DuckDB parity gate
     # in tests/test_oracle_parity.py.
     demoted = {
@@ -92,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_json_extract", "q11_value_counts", "q12_distinct_pairs",
         "q18_distinct_counts", "q37_priority_pick", "q38_page_truncation",
         "q03_semi_join_segments", "q04_anti_join_idle_customers",
-        "q19_time_window",
+        "q19_time_window", "q02_dim_join_revenue",
     }
     ordered = sorted(
         catalog.Q,

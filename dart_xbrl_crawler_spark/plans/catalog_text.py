@@ -2956,3 +2956,63 @@ def q78(spark, sf):
         .withColumn("domain", registered_domain(F.col("host")))
         .orderBy("host", "domain")
     )
+
+
+# =====================================================================
+# main-content extraction (simplified jusText / trafilatura step above
+# the WET tag-strip): block-level classification — nav bars and
+# footers are short and link-dense, prose is neither — keeps body
+# paragraphs only (functions/maintext.py, Arrow-batched kernel).  The
+# oracle states the EXPECTED rows from the same construction (q68
+# style): body paragraphs survive, nav/footer/short blocks don't, so
+# the test pins the block walk, the link-density rule, and the
+# whitespace contract end-to-end.
+# =====================================================================
+@query(
+    "q79_main_content",
+    """
+    WITH k AS (SELECT o_orderkey AS key FROM orders
+               WHERE o_orderkey % 8 = 5),
+    e AS (
+      SELECT 'https://mc.ex/d' || CAST(key AS VARCHAR) AS url,
+        'Body paragraph for item ' || CAST(key AS VARCHAR) ||
+          ' with twelve plain prose words inside here.' ||
+          CASE WHEN key % 3 = 0
+               THEN chr(10) || 'Second paragraph of item ' ||
+                    CAST(key AS VARCHAR) ||
+                    ' continues with more plain prose words too.'
+               ELSE '' END AS main_text,
+        CAST(CASE WHEN key % 3 = 0 THEN 4 ELSE 3 END AS INTEGER)
+          AS n_blocks,
+        CAST(CASE WHEN key % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+          AS n_body_blocks
+      FROM k)
+    SELECT * FROM e ORDER BY url
+    """,
+)
+def q79(spark, sf):
+    from ..functions.maintext import extract_main_content
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 5)
+    key = F.col("o_orderkey").cast("string")
+    para2 = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(
+            F.lit("<p>Second paragraph of item "), key,
+            F.lit(" continues with more plain prose words too.</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/a">L1</a> <a href="/b">L2</a> '
+              '<a href="/c">L3</a></nav><p>Body paragraph for item '),
+        key,
+        F.lit(" with twelve plain prose words inside here.</p>"),
+        para2,
+        F.lit('<footer><a href="/t">Terms</a> <a href="/p">Privacy</a>'
+              "</footer></body></html>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("https://mc.ex/d"), key).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_main_content(pages).orderBy("url")

@@ -2023,3 +2023,33 @@ def test_recrawl_hints_requeues_only_advertised(spark, tmp_path):
     }
     assert queued == {urls[0], urls[1]}
     store.release()
+
+
+def test_main_content_kernel_rules():
+    from dart_xbrl_crawler_spark.functions.maintext import main_content
+
+    html = (
+        "<html><head><script>var x=1;</script><style>.a{}</style></head>"
+        '<body><nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        "<p>This is the first real paragraph of the article body with "
+        "plenty of words to pass the threshold easily.</p>"
+        "<p>Short.</p>"
+        "<p>The second substantial paragraph continues the prose and "
+        'also has a <a href="/r">single reference link</a> inside but '
+        "mostly plain words around it.</p>"
+        '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a> '
+        "&copy; 2026</footer></body></html>"
+    )
+    t, nb, ng = main_content(html)
+    assert "first real paragraph" in t and "second substantial" in t
+    assert "Home" not in t and "Privacy" not in t and "Short." not in t
+    assert "var x" not in t and ng == 2
+    # degenerate inputs never throw
+    assert main_content("") == ("", 0, 0)
+    assert main_content("�� binary")[2] == 0
+    # link-dense long block still drops (a link farm)
+    farm = "<p>" + " ".join(
+        f'<a href="/{i}">anchor text {i}</a>' for i in range(20)
+    ) + "</p>"
+    assert main_content(farm)[2] == 0
