@@ -317,6 +317,65 @@ def extract_feed_entries(
     )
 
 
+def _rel_link_href(html_text: Column, rel_pat: str, extra: str = "") -> Column:
+    """First ``<link>`` href whose rel matches ``rel_pat`` (both
+    attribute orders, both quote styles); '' when absent."""
+    pats = (
+        rf'(?is)<link\b[^>]*rel\s*=\s*["\']{rel_pat}["\'][^>]*{extra}[^>]*href\s*=\s*["\']([^"\']+)["\']',
+        rf'(?is)<link\b[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*rel\s*=\s*["\']{rel_pat}["\']{"" if not extra else "[^>]*" + extra}',
+    )
+    out = F.lit("")
+    for p in pats:
+        v = F.regexp_extract(html_text, p, 1)
+        out = F.when(out == "", v).otherwise(out)
+    return out
+
+
+def extract_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, canonical): the page's advertised ``<link rel="canonical">``
+    target (RFC 6596) — the dedup/indexing key every crawler honors
+    (parameterized and mirrored spellings of one page all point at one
+    canonical url; group content by it before the sink, exactly like
+    redirect resolution canonicalizes the fetch side).  Null when the
+    page advertises none.  One regexp in codegen."""
+    href = _rel_link_href(decode_permissive(F.col(html_col)), "canonical")
+    return pages.select(
+        "url", F.nullif(href, F.lit("")).alias("canonical")
+    )
+
+
+def extract_feed_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, feed_url, feed_type): RSS/Atom AUTODISCOVERY — the
+    ``<link rel="alternate" type="application/rss+xml|atom+xml">``
+    head elements html pages use to advertise their feeds; the
+    discovered feed urls then fetch through the normal loop and
+    extract_feed_entries takes over.  Pure Catalyst."""
+    body = decode_permissive(F.col(html_col))
+    rows = []
+    for ftype, mime in (("rss", "rss"), ("atom", "atom")):
+        href = _rel_link_href(
+            body, "alternate",
+            extra=rf'type\s*=\s*["\']application/{mime}\+xml["\']',
+        )
+        rows.append((ftype, href))
+    out = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("feed_type"), h.alias("feed_url"))
+                for t, h in rows
+            ]
+        ),
+        lambda e: e["feed_url"] != "",
+    )
+    return (
+        pages.select(
+            F.col("url").alias("src_url"), F.explode(out).alias("e")
+        )
+        .select("src_url", F.col("e.feed_url").alias("feed_url"),
+                F.col("e.feed_type").alias("feed_type"))
+    )
+
+
 def sitemap_urls_from_robots(robots_txt: DataFrame) -> DataFrame:
     """(host, robots_txt) → (host, sitemap_url): the 'Sitemap:' lines
     REP files advertise (RFC 9309 §2.3 'other records') — the standard

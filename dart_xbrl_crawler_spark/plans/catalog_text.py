@@ -3016,3 +3016,108 @@ def q79(spark, sf):
         F.encode(html, "UTF-8").alias("html"),
     )
     return extract_main_content(pages).orderBy("url")
+
+
+# =====================================================================
+# rel=canonical extraction (RFC 6596) — the page-advertised dedup key:
+# parameterized/mirrored spellings of one page all point at one
+# canonical url, and an indexer groups content by it the same way the
+# fetch side groups by redirect target (q64).  One codegen regexp,
+# both attribute orders and quote styles; null when absent.
+# =====================================================================
+@query(
+    "q80_canonical_link",
+    """
+    WITH k AS (SELECT o_orderkey AS key FROM orders
+               WHERE o_orderkey % 11 = 4)
+    SELECT 'https://cn.ex/p' || CAST(key AS VARCHAR) ||
+             '?utm=' || CAST(key % 5 AS VARCHAR) AS url,
+           CASE WHEN key % 3 = 0
+                THEN 'https://cn.ex/p' || CAST(key AS VARCHAR)
+                ELSE NULL END AS canonical
+    FROM k ORDER BY url
+    """,
+)
+def q80(spark, sf):
+    from ..functions.links import extract_canonical
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 11 == 4)
+    key = F.col("o_orderkey").cast("string")
+    # attribute order alternates with key parity — both must extract
+    head = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://cn.ex/p'),
+                key, F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<link href='https://cn.ex/p"), key,
+                F.lit("' rel='canonical'/>"),
+            )
+        ),
+    ).otherwise(F.lit("<html></html>"))
+    pages = o.select(
+        F.concat(
+            F.lit("https://cn.ex/p"), key, F.lit("?utm="),
+            (F.col("o_orderkey") % 5).cast("string"),
+        ).alias("url"),
+        F.encode(head, "UTF-8").alias("html"),
+    )
+    return extract_canonical(pages).orderBy("url")
+
+
+# =====================================================================
+# feed autodiscovery — <link rel="alternate" type="application/
+# rss+xml|atom+xml"> head elements advertising a page's feeds; the
+# urls fetch through the normal loop and q77's entry extraction takes
+# over.  Pure Catalyst; both quote styles.
+# =====================================================================
+@query(
+    "q81_feed_autodiscovery",
+    """
+    WITH k AS (SELECT o_orderkey AS key FROM orders
+               WHERE o_orderkey % 13 = 6),
+    rss AS (
+      SELECT 'https://fa.ex/h' || CAST(key AS VARCHAR) AS src_url,
+             '/feed' || CAST(key % 7 AS VARCHAR) || '.xml' AS feed_url,
+             'rss' AS feed_type
+      FROM k WHERE key % 2 = 0),
+    atom AS (
+      SELECT 'https://fa.ex/h' || CAST(key AS VARCHAR) AS src_url,
+             'https://fa.ex/atom' || CAST(key % 3 AS VARCHAR) AS feed_url,
+             'atom' AS feed_type
+      FROM k WHERE key % 5 = 0)
+    SELECT * FROM rss UNION ALL SELECT * FROM atom
+    ORDER BY src_url, feed_type
+    """,
+)
+def q81(spark, sf):
+    from ..functions.links import extract_feed_links
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 13 == 6)
+    key = F.col("o_orderkey").cast("string")
+    rss = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="/feed'),
+            (F.col("o_orderkey") % 7).cast("string"), F.lit('.xml">'),
+        ),
+    ).otherwise(F.lit(""))
+    atom = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(
+            F.lit("<link rel='alternate' type='application/atom+xml' "
+                  "href='https://fa.ex/atom"),
+            (F.col("o_orderkey") % 3).cast("string"), F.lit("'>"),
+        ),
+    ).otherwise(F.lit(""))
+    pages = o.select(
+        F.concat(F.lit("https://fa.ex/h"), key).alias("url"),
+        F.encode(F.concat(F.lit("<head>"), rss, atom, F.lit("</head>")),
+                 "UTF-8").alias("html"),
+    )
+    return extract_feed_links(pages).orderBy("src_url", "feed_type")
