@@ -68,7 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered entries, and a `no_oracle` query can never produce a
     # green row — so the no-oracle entries (each with a hash-green md5
     # twin or a dedicated exactness test) always register last.  With
-    # 73 oracle-backed queries, twenty-three must sit outside the window;
+    # 74 oracle-backed queries, twenty-four must sit outside the window;
     # queries that already earned a green driver row in a prior round
     # (CORRECTNESS_r03/r04) AND keep an in-window twin or byte-identity
     # pytest gate yield their slots so every never-driver-graded query
@@ -82,7 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q03/q04 → r4 rows + seed-targeting/seen-antijoin twins (q22);
     # q19 → r4 row + the q35/q39 windowing twins;
     # q02 → r4 row + the dedicated broadcast-join plan test;
-    # q42 → r4 row (q41 rollup stays in-window);
+    # q41/q42 → r4 rows (rollup/pivot pair; local parity retained);
     # q50 → r4 row + the in-window link family (q53/q57/q68/q73/q77).
     # All demoted queries keep the identical local DuckDB parity gate
     # in tests/test_oracle_parity.py.
@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_distinct_counts", "q37_priority_pick", "q38_page_truncation",
         "q03_semi_join_segments", "q04_anti_join_idle_customers",
         "q19_time_window", "q02_dim_join_revenue",
-        "q42_pivot_status", "q50_link_extract",
+        "q42_pivot_status", "q50_link_extract", "q41_rollup_revenue",
     }
     ordered = sorted(
         catalog.Q,

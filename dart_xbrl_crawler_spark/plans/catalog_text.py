@@ -3121,3 +3121,86 @@ def q81(spark, sf):
                  "UTF-8").alias("html"),
     )
     return extract_feed_links(pages).orderBy("src_url", "feed_type")
+
+
+# =====================================================================
+# n-gram language ID — the SURVEY brief's "language-ID (n-gram
+# heuristic)" as distinct from q25's stopword vote: Cavnar-Trenkle
+# character-trigram profiles with presence voting (48 instr probes
+# folded per row — map-only, NO shuffle at 100 TB; a rank-order
+# profile distance would need a per-doc top-k window).  Profiles and
+# tie-break precedence identical in both engines (generated from ONE
+# table, plans/webtext._TRIGRAM_PROFILES).
+# =====================================================================
+@query(
+    "q82_lang_id_ngram",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        (CASE WHEN instr(lower(text), ' th') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'the') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'he ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ing') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' an') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'nd ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' of') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'of ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' to') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ed ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' in') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'er ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'at ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ent') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' co') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ion') > 0 THEN 1 ELSE 0 END) AS s_en,
+        (CASE WHEN instr(lower(text), 'der') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ein') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'sch') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ich') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'nde') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'die') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'che') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'und') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' de') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ung') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' ge') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'cht') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'gen') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ber') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' di') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ens') > 0 THEN 1 ELSE 0 END) AS s_de,
+        (CASE WHEN instr(lower(text), ' de') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'es ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'le ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'de ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'la ') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' la') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'que') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' qu') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'les') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'our') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' le') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ais') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ons') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'ait') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), ' pa') > 0 THEN 1 ELSE 0 END
+           + CASE WHEN instr(lower(text), 'eur') > 0 THEN 1 ELSE 0 END) AS s_fr
+      FROM documents)
+    SELECT doc_id, CAST(s_en AS BIGINT) AS score_en,
+           CAST(s_de AS BIGINT) AS score_de,
+           CAST(s_fr AS BIGINT) AS score_fr,
+           CASE WHEN greatest(s_en, s_de, s_fr) < 2 THEN 'unk'
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_ngram
+    FROM s ORDER BY doc_id
+""",
+)
+def q82(spark, sf):
+    from .webtext import lang_id_ngram_cols
+
+    d = _t(spark, sf, "documents")
+    cols = lang_id_ngram_cols()
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
