@@ -182,3 +182,14 @@ def test_sitemap_and_asset_queries_mapside(spark):
         assert "Join" not in plan, name
         assert "Window" not in plan, name
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_head_extractors_and_ngram_langid_mapside(spark):
+    """q80/q81/q82: head-element extraction and trigram lang-ID are
+    map-only — no join, no window, no python worker."""
+    for name in ("q80_canonical_link", "q81_feed_autodiscovery",
+                 "q82_lang_id_ngram"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, name
