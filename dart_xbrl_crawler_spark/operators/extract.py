@@ -69,16 +69,21 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
              with raw (unfiltered) values.
     """
     doc_rows = []
-    # flat columnar accumulators — ONE DataFrame per batch, never per doc
-    c_doc: list[int] = []
-    c_rt: list[str] = []
-    c_ord: list[int] = []
-    c_id: list[str] = []
-    c_ko: list[str] = []
-    c_en: list[str] = []
-    c_c1: list[str] = []
-    c_c2: list[str] = []
-    c_c3: list[str] = []
+    # per-CONCEPT accumulators (one entry per concept row kept) + flat
+    # per-cell accumulators; the concept-level columns expand to cell
+    # rows via ONE np.repeat at batch end instead of per-concept
+    # [x]*nf list extends (9 per concept — the old unpivot's dominant
+    # cost, measured ~2/3 of _parse_batch)
+    k_doc: list[int] = []
+    k_rt: list[str] = []
+    k_ord: list[int] = []
+    k_id: list[str] = []
+    k_ko: list[str] = []
+    k_en: list[str] = []
+    k_c1: list[str] = []
+    k_c2: list[str] = []
+    k_c3: list[str] = []
+    k_nf: list[int] = []
     c_per: list[str] = []
     c_fs: list[str] = []
     c_amt: list = []
@@ -125,26 +130,25 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
                             stmt.get("rows", []), start=1
                         ):
                             values = concept.get("values", [])
-                            cells = [
-                                (p, fs, v)
-                                for (p, fs), v in zip(columns, values)
-                                if v is not None
-                            ]
-                            nf = len(cells)
+                            nf = 0
+                            for (p, fs), v in zip(columns, values):
+                                if v is not None:
+                                    c_per.append(p)
+                                    c_fs.append(fs)
+                                    c_amt.append(v)
+                                    nf += 1
                             if not nf:
                                 continue
-                            c_doc.extend([i] * nf)
-                            c_rt.extend([report_type] * nf)
-                            c_ord.extend([order_no] * nf)
-                            c_id.extend([str(concept.get("concept_id", ""))] * nf)
-                            c_ko.extend([str(concept.get("label_ko", ""))] * nf)
-                            c_en.extend([str(concept.get("label_en", ""))] * nf)
-                            c_c1.extend([str(concept.get("class1", "") or "")] * nf)
-                            c_c2.extend([str(concept.get("class2", "") or "")] * nf)
-                            c_c3.extend([str(concept.get("class3", "") or "")] * nf)
-                            c_per.extend(cell[0] for cell in cells)
-                            c_fs.extend(cell[1] for cell in cells)
-                            c_amt.extend(cell[2] for cell in cells)
+                            k_doc.append(i)
+                            k_rt.append(report_type)
+                            k_ord.append(order_no)
+                            k_id.append(str(concept.get("concept_id", "")))
+                            k_ko.append(str(concept.get("label_ko", "")))
+                            k_en.append(str(concept.get("label_en", "")))
+                            k_c1.append(str(concept.get("class1", "") or ""))
+                            k_c2.append(str(concept.get("class2", "") or ""))
+                            k_c3.append(str(concept.get("class3", "") or ""))
+                            k_nf.append(nf)
         rd = str(rcept_dt) if rcept_dt is not None else ""
         receipt_ymd = (
             f"{rd[:4]}-{rd[4:6]}-{rd[6:8]}"
@@ -166,19 +170,24 @@ def _parse_batch(pdf: pd.DataFrame, run_ts: str) -> tuple[pd.DataFrame, pd.DataF
             "corp_code",
         ],
     )
+    nf_arr = np.asarray(k_nf, dtype=np.int64)
+
+    def rep(vals, dtype):
+        return np.repeat(np.asarray(vals, dtype=dtype), nf_arr)
+
     long = pd.DataFrame(
         {
-            "doc_idx": c_doc,
-            "report_type": c_rt,
-            "order_no": c_ord,
-            "account_id": c_id,
-            "account_name": c_ko,
-            "account_name_en": c_en,
-            "class1": c_c1,
-            "class2": c_c2,
-            "class3": c_c3,
-            "period_raw": c_per,
-            "fs": c_fs,
+            "doc_idx": rep(k_doc, np.int64),
+            "report_type": rep(k_rt, object),
+            "order_no": rep(k_ord, np.int64),
+            "account_id": rep(k_id, object),
+            "account_name": rep(k_ko, object),
+            "account_name_en": rep(k_en, object),
+            "class1": rep(k_c1, object),
+            "class2": rep(k_c2, object),
+            "class3": rep(k_c3, object),
+            "period_raw": np.asarray(c_per, dtype=object),
+            "fs": np.asarray(c_fs, dtype=object),
             "amount": c_amt,
         }
     )
@@ -191,14 +200,19 @@ _PERIOD_SHAPE = oracle._PERIOD_RE
 def _transform_long(long: pd.DataFrame, docs: pd.DataFrame, run_ts: str) -> pd.DataFrame:
     """Batch-wide columnar fact pipeline (spec: oracle.py).
 
-    Implementation note: string steps use compiled-regex/dict list
-    comprehensions over numpy object arrays rather than chained pandas
-    ``.str`` ops — for object dtype those are Python loops anyway, and
-    each chained op materializes a full-batch temporary.  Under 32
-    parallel workers that allocation churn collapsed aggregate
-    throughput ~8× (measured); the single-temporary form scales.
-    Doc-level attrs join by plain fancy-indexing (doc_idx is the row
-    position in ``docs`` by construction — no merge needed).
+    Implementation note (r6): every per-row python loop is replaced by
+    distinct-value encoding — period strings, fs labels and account
+    names repeat massively (a batch has a handful of distinct period
+    columns), so regex/format/reclass work runs once per DISTINCT value
+    via ``np.unique(..., return_inverse=True)`` and fans back out by
+    inverse index; group-minima and last-wins lookups use
+    ``np.minimum.at``/``np.maximum.at`` over compacted integer keys;
+    the final deterministic sort is a stable ``np.lexsort`` over the
+    same code spaces (np.unique's object-string sort is python ``<``,
+    i.e. exactly the tuple-sort order the row-wise kernel used).
+    Byte-identity to oracle.extract_facts_rowwise is pinned per url by
+    tests/test_extract_identity.py.  Doc-level attrs join by plain
+    fancy-indexing (doc_idx is the row position in ``docs``).
     """
     empty = pd.DataFrame(columns=["doc_idx", *oracle.FACT_COLUMNS])
     if long.empty:
@@ -212,40 +226,49 @@ def _transform_long(long: pd.DataFrame, docs: pd.DataFrame, run_ts: str) -> pd.D
     d_year = docs["year"].to_numpy(dtype=object)
     d_mm = docs["mm"].to_numpy(dtype=object)
 
-    # predicates + period filter in ONE pass ---------------------------
+    # predicates + period filter, regex/format once per DISTINCT raw.
+    # pd.factorize (hash table, O(n)) everywhere grouping is all we
+    # need; np.unique's sort-based distinct pays an O(n log n) python
+    # string compare that measured ~2× the whole transform.
     match = _PERIOD_SHAPE.match
-    n = len(raw)
-    keep_idx = []
-    periods = []
-    append_i = keep_idx.append
-    append_p = periods.append
-    for i in range(n):
-        a = amount[i]
-        if a != a or a == 0.0:
-            continue
-        r = raw[i]
+    inv, u_raw = pd.factorize(raw)
+    u_raw = np.asarray(u_raw, dtype=object)
+    n_u = len(u_raw)
+    u_fmt = np.empty(n_u, dtype=object)
+    u_start = np.empty(n_u, dtype=object)  # 'YYYY-MM' of (start) date
+    u_end = np.empty(n_u, dtype=object)  # 'YYYY-MM' of end date (ranges)
+    for j, r in enumerate(u_raw):
         if not match(r):
-            continue
-        if len(r) == 17:
+            u_fmt[j] = None
+            u_start[j] = None
+            u_end[j] = None
+        elif len(r) == 17:
             p = f"{r[:4]}-{r[4:6]}-{r[6:8]} ~ {r[9:13]}-{r[13:15]}-{r[15:17]}"
-            di = doc_idx[i]
-            needle = f"{d_year[di]}-{d_mm[di]}"
-            if p[:7] != needle and p[13:20] != needle:
-                continue
+            u_fmt[j] = p
+            u_start[j] = p[:7]
+            u_end[j] = p[13:20]
         else:
             p = f"{r[:4]}-{r[4:6]}-{r[6:8]}"
-            di = doc_idx[i]
-            if p[:7] != f"{d_year[di]}-{d_mm[di]}":
-                continue
-        append_i(i)
-        append_p(p)
-    if not keep_idx:
+            u_fmt[j] = p
+            u_start[j] = p[:7]
+            u_end[j] = None
+    needles = np.array(
+        [f"{y}-{mm}" for y, mm in zip(d_year, d_mm)], dtype=object
+    )
+    nd = needles[doc_idx]
+    starts = u_start[inv]
+    keep = (
+        ~np.isnan(amount)
+        & (amount != 0.0)
+        & ((starts == nd) | (u_end[inv] == nd))
+    )
+    if not keep.any():
         return empty
 
-    idx = np.array(keep_idx, dtype=np.int64)
+    idx = np.flatnonzero(keep)
     doc_idx = doc_idx[idx]
     amount = amount[idx]
-    period = periods  # python list, aligned with idx
+    period = u_fmt[inv[idx]]  # object array (copy via fancy indexing)
     order_no = long["order_no"].to_numpy(dtype=np.int64)[idx]
     report_type = long["report_type"].to_numpy(dtype=object)[idx]
     account_id = long["account_id"].to_numpy(dtype=object)[idx]
@@ -257,91 +280,109 @@ def _transform_long(long: pd.DataFrame, docs: pd.DataFrame, run_ts: str) -> pd.D
     fs = long["fs"].to_numpy(dtype=object)[idx]
     m = len(idx)
 
-    fs_type = ["연결" if "연결" in s else "별도" for s in fs]
+    inv_fs, u_fs = pd.factorize(fs)
+    fs_type = np.array(
+        ["연결" if "연결" in s else "별도" for s in u_fs], dtype=object
+    )[inv_fs]
 
     # -- hierarchy improve (BS only; order matters vs 총계-strip below) --
-    outline = oracle.OUTLINE_REWRITE
-    totals = oracle.TOTALS
-    for i in range(m):
-        if report_type[i] == "BS":
-            c1 = class1[i]
-            c1 = outline.get(c1, c1)
-            class1[i] = c1
-            if c1 == class2[i] and c1 in totals:
-                class2[i] = ""
-            if account_name[i] == "자산총계":
-                order_no[i] = 0
-    section_min: dict[tuple, int] = {}
-    for i in range(m):
-        k = (doc_idx[i], report_type[i], class1[i])
-        o = order_no[i]
-        if k not in section_min or o < section_min[k]:
-            section_min[k] = o
-    drop = np.zeros(m, dtype=bool)
-    for i in range(m):
-        if report_type[i] == "BS":
-            an = account_name[i]
-            if an in ("부채총계", "자본총계"):
-                order_no[i] = section_min[(doc_idx[i], report_type[i], class1[i])]
-            elif an == "자본과부채총계":
-                drop[i] = True
+    is_bs = report_type == "BS"
+    for k, v in oracle.OUTLINE_REWRITE.items():
+        class1[is_bs & (class1 == k)] = v
+    in_totals = np.zeros(m, dtype=bool)
+    for t in oracle.TOTALS:
+        in_totals |= class1 == t
+    class2[is_bs & in_totals & (class1 == class2)] = ""
+    order_no[is_bs & (account_name == "자산총계")] = 0
+
+    # section-min per (doc, report_type, class1) via compacted int keys
+    c1_code, u_c1 = pd.factorize(class1)
+    skey = (doc_idx * 2 + is_bs.astype(np.int64)) * np.int64(len(u_c1)) + c1_code
+    sk_idx, u_sk = pd.factorize(skey)
+    smin = np.full(len(u_sk), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(smin, sk_idx, order_no)
+    reassign = is_bs & (
+        (account_name == "부채총계") | (account_name == "자본총계")
+    )
+    order_no[reassign] = smin[sk_idx[reassign]]
+    drop = is_bs & (account_name == "자본과부채총계")
     if drop.any():
         sel = ~drop
         doc_idx, amount, order_no = doc_idx[sel], amount[sel], order_no[sel]
         report_type, account_id = report_type[sel], account_id[sel]
         account_name, account_name_en = account_name[sel], account_name_en[sel]
         class1, class2, class3 = class1[sel], class2[sel], class3[sel]
-        fs_type = [fs_type[i] for i in range(m) if sel[i]]
-        period = [period[i] for i in range(m) if sel[i]]
+        fs_type, period, is_bs = fs_type[sel], period[sel], is_bs[sel]
         m = len(doc_idx)
     if m == 0:
         return empty
 
     # -- enrich/save ------------------------------------------------------
-    # last-wins account_name → account_id per document (single dict pass)
-    name_to_id: dict[tuple, str] = {}
-    for i in range(m):
-        name_to_id[(doc_idx[i], account_name[i])] = account_id[i]
-    g = name_to_id.get
-    class1_id = [g((doc_idx[i], class1[i]), "") for i in range(m)]
-    class2_id = [g((doc_idx[i], class2[i]), "") for i in range(m)]
-    class3_id = [g((doc_idx[i], class3[i]), "") for i in range(m)]
+    # last-wins (doc, account_name) → account_id, then class1..3 lookups
+    # in the SAME (doc, name) code space — np.maximum.at over row
+    # positions reproduces dict-insertion last-wins exactly
+    all_names = np.concatenate([account_name, class1, class2, class3])
+    nm_code, u_nm = pd.factorize(all_names)
+    pkeys = np.tile(doc_idx, 4) * np.int64(len(u_nm)) + nm_code
+    pk_code, _ = pd.factorize(pkeys)
+    lastpos = np.full(pk_code.max() + 1, -1, dtype=np.int64)
+    np.maximum.at(lastpos, pk_code[:m], np.arange(m))
+
+    def _ids_for(codes: np.ndarray) -> np.ndarray:
+        pos = lastpos[codes]
+        out = np.full(m, "", dtype=object)
+        hit = pos >= 0
+        out[hit] = account_id[pos[hit]]
+        return out
+
+    class1_id = _ids_for(pk_code[m : 2 * m])
+    class2_id = _ids_for(pk_code[2 * m : 3 * m])
+    class3_id = _ids_for(pk_code[3 * m :])
 
     rn_map = oracle.REPORT_NAME_MAP
-    strip = oracle.TOTAL_STRIP
-    report_name = [rn_map.get(rt, "") for rt in report_type]
-    for i in range(m):
-        if report_type[i] == "BS":
-            period[i] = "당기"
-            an = account_name[i]
-            if an in strip:
-                account_name[i] = strip[an]
-            c1 = class1[i]
-            if c1 in strip:
-                class1[i] = strip[c1]
-        else:
-            p = period[i]
-            if len(p) == 10:
-                period[i] = "3개월"
-            else:
-                months = (int(p[13:17]) - int(p[:4])) * 12 + (
-                    int(p[18:20]) - int(p[5:7])
-                ) + 1
-                period[i] = "3개월" if months <= 3 else "누적"
+    report_name = np.full(m, rn_map.get("CIS", ""), dtype=object)
+    report_name[is_bs] = rn_map.get("BS", "")
+    # BS rows: period '당기' + 총계-strip on account_name and class1
+    # (AFTER the id lookups above — the dict used pre-strip names)
+    for k, v in oracle.TOTAL_STRIP.items():
+        account_name[is_bs & (account_name == k)] = v
+        class1[is_bs & (class1 == k)] = v
+    period[is_bs] = "당기"
+    cis = ~is_bs
+    if cis.any():
+        p_inv, u_p = pd.factorize(period[cis])
 
-    # deterministic final sort (python sort over key tuples — one pass)
-    order = sorted(
-        range(m),
-        key=lambda i: (
-            doc_idx[i],
-            report_type[i],
-            order_no[i],
-            period[i],
-            fs_type[i],
-            account_id[i],
-        ),
+        def _reclass(p: str) -> str:
+            if len(p) == 10:
+                return "3개월"
+            months = (int(p[13:17]) - int(p[:4])) * 12 + (
+                int(p[18:20]) - int(p[5:7])
+            ) + 1
+            return "3개월" if months <= 3 else "누적"
+
+        period[cis] = np.array([_reclass(p) for p in u_p], dtype=object)[p_inv]
+
+    # deterministic final sort — stable lexsort over RANKED distinct
+    # codes: factorize assigns first-seen codes, so rank the (tiny)
+    # distinct set with argsort to recover python's string '<' order
+    def _sort_code(arr: np.ndarray) -> np.ndarray:
+        codes, uniques = pd.factorize(arr)
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[np.argsort(np.asarray(uniques, dtype=object))] = np.arange(
+            len(uniques)
+        )
+        return rank[codes]
+
+    take = np.lexsort(
+        (
+            _sort_code(account_id),
+            _sort_code(fs_type),
+            _sort_code(period),
+            order_no,
+            _sort_code(report_type),
+            doc_idx,
+        )
     )
-    take = np.array(order, dtype=np.int64)
 
     d_receipt = docs["receipt_ymd"].to_numpy(dtype=object)
     d_corp = docs["corp_code"].to_numpy(dtype=object)
@@ -355,18 +396,18 @@ def _transform_long(long: pd.DataFrame, docs: pd.DataFrame, run_ts: str) -> pd.D
             "receipt_ymd": d_receipt[sdoc],
             "corp_code": d_corp[sdoc],
             "report_type": report_type[take],
-            "report_name": [report_name[i] for i in order],
+            "report_name": report_name[take],
             "account_id": account_id[take],
             "account_name": account_name[take],
             "account_name_en": account_name_en[take],
             "class1": class1[take],
             "class2": class2[take],
             "class3": class3[take],
-            "class1_id": [class1_id[i] for i in order],
-            "class2_id": [class2_id[i] for i in order],
-            "class3_id": [class3_id[i] for i in order],
-            "fs_type": [fs_type[i] for i in order],
-            "period": [period[i] for i in order],
+            "class1_id": class1_id[take],
+            "class2_id": class2_id[take],
+            "class3_id": class3_id[take],
+            "fs_type": fs_type[take],
+            "period": period[take],
             "amount": amount[take],
             "crawl_time": run_ts,
         },

@@ -510,20 +510,33 @@ def pop_round(
         F.col("url_hash").asc(),
     ]
     w1 = Window.partitionBy("host", "partition_salt").orderBy(*order)
-    ranked = cand.withColumn("_rn1", F.row_number().over(w1))
 
+    # Regime split BEFORE the window, not after: quota_mode is constant
+    # per host (budget derives from the host's crawl delay) and w1
+    # partitions by (host, salt), so filtering whole hosts out ahead of
+    # the window leaves _rn1 for the remaining hosts unchanged — while
+    # each branch's window Exchange now carries only its own regime's
+    # rows.  The previous shape filtered AFTER the window (the regime
+    # predicate is not a partition-key column, so Catalyst cannot push
+    # it below the Window) and therefore shuffled+sorted the full
+    # candidate set once per branch — with one giant quota-regime host
+    # that was two redundant full sorts of ~60% of the frontier.
     quota_mode = F.col("_budget") > F.lit(exact_rank_max)
     s = F.lit(salt_buckets)
     quota = F.floor(F.col("_budget") / s) + F.when(
         F.col("partition_salt") < F.pmod(F.col("_budget"), s), F.lit(1)
     ).otherwise(F.lit(0))
-    quota_rows = ranked.filter(quota_mode).select(
-        *gated.columns,
-        (F.col("_rn1") <= quota).alias("selected"),
-        null_rank.alias("host_rank"),
+    quota_rows = (
+        cand.filter(quota_mode)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .select(
+            *gated.columns,
+            (F.col("_rn1") <= quota).alias("selected"),
+            null_rank.alias("host_rank"),
+        )
     )
 
-    exact = ranked.filter(~quota_mode)
+    exact = cand.filter(~quota_mode).withColumn("_rn1", F.row_number().over(w1))
     losers = exact.filter(F.col("_rn1") > F.col("_budget")).select(
         *gated.columns,
         F.lit(False).alias("selected"),
