@@ -102,7 +102,10 @@ def sniff_charset(data: bytes) -> str:
     # valid UTF-8) and would decode to NUL-ridden garbage — detect it
     # by the NUL stripe: mostly-ASCII UTF-16 has ~half its bytes NUL,
     # at even offsets for BE (high byte first) and odd for LE
-    head = data[: 256 & ~1]
+    # even-length head so the even/odd stripes compare equal-length
+    # slices (256 & ~1 constant-folded — the clamp must apply to the
+    # actual head length for payloads shorter than 256 bytes)
+    head = data[: min(len(data), 256) & ~1]
     if head:
         even = head[0::2].count(0)
         odd = head[1::2].count(0)

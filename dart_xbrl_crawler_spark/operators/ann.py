@@ -150,7 +150,14 @@ def ivf_search(
         )
     )
     qnorm = float(np.sqrt((q * q).sum()))
-    cos = (dot / (norm * F.lit(qnorm))).alias("cosine")
+    if qnorm == 0.0:
+        raise ValueError("ivf_search: zero query vector has no cosine")
+    # zero-norm guard: one all-zero embedding in a probed list would
+    # otherwise raise DIVIDE_BY_ZERO under Spark 4's ANSI default and
+    # fail the whole search job; null cosine drops it from the top-k
+    cos = F.when(norm == 0.0, F.lit(None).cast("double")).otherwise(
+        dot / (norm * F.lit(qnorm))
+    ).alias("cosine")
     return (
         indexed.filter(F.col("ivf_cluster").isin(probes))
         .select(id_col, "ivf_cluster", F.round(cos, 6).alias("cosine"))

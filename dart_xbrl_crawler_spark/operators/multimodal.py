@@ -1272,13 +1272,20 @@ def extract_phash(df: DataFrame, binary_col: str = "html") -> DataFrame:
 def phash_near_dup_pairs(
     hashed: DataFrame, max_hamming: int = 10, n_bands: int = 4
 ) -> DataFrame:
-    """(url_a, url_b, hamming) for image pairs within ``max_hamming``
-    bits — the SimHash pigeonhole construction over pHash keys: split
-    64 bits into ``n_bands`` bands; any pair within max_hamming < 16·k
-    differing bits must agree on ≥1 full 16-bit band, so candidates
-    come from a banded EQUALITY join (never an all-pairs distance),
-    then one xor+bit_count confirms exactly.  Pure Catalyst after the
-    hash extraction."""
+    """(url_a, url_b, hamming) for image pairs — the SimHash pigeonhole
+    construction over pHash keys: split 64 bits into ``n_bands`` bands;
+    candidates come from a banded EQUALITY join (never an all-pairs
+    distance), then one xor+bit_count confirms exactly.  Pure Catalyst
+    after the hash extraction.
+
+    Recall contract (NB): a band collision is GUARANTEED only for
+    pairs with hamming ≤ n_bands − 1 (pigeonhole); with the defaults
+    (4 bands of 16 bits, max_hamming=10) pairs whose 4–10 differing
+    bits spread across all four bands are best-effort — near-identical
+    images (hamming ≤ 3) are always found, looser matches may be
+    missed.  For guaranteed recall at radius r, call with
+    n_bands ≥ r + 1 (e.g. 11 bands for r=10; 64/11-bit bands still
+    join on equality)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     h = hashed.filter(F.col("phash").isNotNull()).select("url", "phash")

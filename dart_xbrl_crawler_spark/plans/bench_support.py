@@ -321,27 +321,41 @@ def frontier_scale_job(spark: SparkSession, n_urls: int) -> int:
         b.close()
 
 
+# Extract-stage task layout: 128 one-file scan splits (4m
+# maxPartitionBytes, below) coalesced — WITHOUT a shuffle — to this
+# many tasks.  One task per tiny file paid ~50 ms of scheduling/Arrow
+# setup against ~40 ms of kernel work once the r6 kernel landed
+# (measured 4.5 s → 2.0 s at 8 cores for 60 k docs); ~5 files per task
+# restores the compute:overhead ratio.  FIXED, not derived from cores:
+# the 2- and 8-core scaling legs must run the identical task layout or
+# the comparison measures the DAGScheduler (see _batch_urls).
+EXTRACT_COALESCE = 24
+
+
 def extract_job(spark: SparkSession, pages_path: str, limit: int | None = None) -> int:
     """Extract stage over pre-synthesized pages; returns parsed count.
     ``limit`` bounds the input (used for cheap worker warm-up runs).
 
-    The parse kernel is COMPUTE-bound (~1 ms/doc in python), so the
-    scan split must follow the file layout, not bytes: the default
-    128 MB maxPartitionBytes packs 240k small docs into ~5 tasks and
-    starves every core (measured 196 s vs ~19 s at 16 cores).  The
-    bench session therefore sets maxPartitionBytes=4m (bench.py), which
-    with the 4 MB file-open cost yields exactly one task per synth file
-    — a pure map job with NO shuffle, and a task count fixed by the
-    file layout, independent of the executor count (varying task counts
-    would make the scaling comparison measure the DAGScheduler).
-    Production has the same property for free: extract consumes the
-    fetch stage's output, which fetch_partitioning already spreads over
-    (host, salt) partitions."""
+    The parse kernel is COMPUTE-bound (~0.2 ms/doc in python after the
+    r6 vectorization), so the scan split must follow the file layout,
+    not bytes: the default 128 MB maxPartitionBytes packs 240k small
+    docs into ~5 tasks and starves every core (measured 196 s vs ~19 s
+    at 16 cores).  The bench session therefore sets
+    maxPartitionBytes=4m (bench.py) — one split per synth file — and
+    the splits coalesce (narrow, still NO shuffle) to EXTRACT_COALESCE
+    tasks, a count fixed by the file layout and independent of the
+    executor count (varying task counts would make the scaling
+    comparison measure the DAGScheduler).  Production has the same
+    property for free: extract consumes the fetch stage's output,
+    which fetch_partitioning already spreads over (host, salt)
+    partitions sized by target_rows_per_task."""
     from ..operators import extract as X
 
     pages = spark.read.parquet(pages_path)
     if limit:
         pages = pages.limit(limit)
+    else:
+        pages = pages.coalesce(EXTRACT_COALESCE)
     out = X.extract_text(pages, RUN_TS)
     return out.filter(F.col("parse_ok")).count()
 

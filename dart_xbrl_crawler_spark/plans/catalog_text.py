@@ -308,8 +308,16 @@ def minhash_lsh_candidates(d: DataFrame) -> DataFrame:
     """(a_id, b_id, jaccard_est) banded-LSH candidate pairs over
     d(doc_id, text).  Never all-pairs: docs meet only via equal band
     buckets (8 bands × 4 rows), and the pair join is keyed on
-    (band, bucket)."""
-    sigs = minhash_signatures(d)
+    (band, bucket).
+
+    The signature table is localCheckpointed before the self-join:
+    both join sides derive from it, and without the checkpoint the
+    whole shingle-explode + 32-minhash pipeline (the dominant cost —
+    millions of shingle rows) executes once per side (verified in the
+    physical plan: two identical Generate→HashAggregate subtrees).
+    The checkpoint materializes ~|docs| signature rows once and both
+    sides read those blocks; values are unchanged."""
+    sigs = minhash_signatures(d).localCheckpoint(eager=True)
     per_band = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
