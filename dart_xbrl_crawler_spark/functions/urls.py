@@ -75,17 +75,29 @@ def canonicalize_one(url: str) -> tuple[str, str]:
     to sub-8-worker throughput (measured); anything with %-escapes,
     userinfo, ipv6 or other oddities falls back to the general path.
     Equivalence fast↔general is property-tested."""
-    u = url.strip()
+    u = url
+    # strip only when an edge char is whitespace (str.isspace and
+    # str.strip agree on the Unicode whitespace set) — the common URL
+    # skips the copy
+    if u and (u[0].isspace() or u[-1].isspace()):
+        u = u.strip()
     i = u.find("#")
     if i >= 0:
         u = u[:i]
-    i = u.find("://")
-    if i <= 0:
-        return _canonicalize_general(url)
-    scheme = u[:i].lower()
-    if not _SIMPLE_SCHEME(scheme):
-        return _canonicalize_general(url)
-    rest = u[i + 3 :]
+    # literal prefix test for the two dominant schemes skips the
+    # lower()+regex scheme validation (~12% of the kernel, measured)
+    if u.startswith("https://"):
+        scheme, rest = "https", u[8:]
+    elif u.startswith("http://"):
+        scheme, rest = "http", u[7:]
+    else:
+        i = u.find("://")
+        if i <= 0:
+            return _canonicalize_general(url)
+        scheme = u[:i].lower()
+        if not _SIMPLE_SCHEME(scheme):
+            return _canonicalize_general(url)
+        rest = u[i + 3 :]
     j = rest.find("/")
     if j < 0:
         netloc, pathq = rest, "/"

@@ -1288,7 +1288,13 @@ def phash_near_dup_pairs(
     join on equality)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    h = hashed.filter(F.col("phash").isNotNull()).select("url", "phash")
+    # both join sides derive from `hashed`; checkpoint so the upstream
+    # (typically a full image DECODE in python) runs once, not per side
+    h = (
+        hashed.filter(F.col("phash").isNotNull())
+        .select("url", "phash")
+        .localCheckpoint(eager=True)
+    )
     bands = h.select(
         "url", "phash",
         F.explode(

