@@ -184,3 +184,88 @@ def test_pop_round_regime_prefilter_equivalence(spark, fixture_bundle, round_ms)
     for h, (sel, rank) in want.items():
         if rank is not None and sel:
             assert got[h][1] == rank, f"host_rank mismatch for hash {h}"
+
+
+# ---------------------------------------------------------------- plans
+def _fmt_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pop_round_regime_filter_below_window(spark, fixture_bundle):
+    """r6 shape guard: the quota/exact regime predicate must sit BELOW
+    each ranking window's Exchange (scan side), not above the Window —
+    the pre-r6 shape filtered after ranking and every union branch
+    shuffled+sorted the full candidate set.  Detected structurally: in
+    the formatted plan tree, every Window's own subtree must contain
+    the exact_rank_max literal (either regime polarity)."""
+    import re
+
+    from dart_xbrl_crawler_spark.functions.urls import with_url_canon
+    from dart_xbrl_crawler_spark.operators import politeness as P
+    from dart_xbrl_crawler_spark.schemas import PAGES, ROBOTS
+
+    pages, _, _, robots = fixture_bundle
+    frontier = (
+        with_url_canon(spark.createDataFrame(pages, schema=PAGES).select("url"))
+        .withColumn("priority", F.lit(0.0))
+        .withColumn("discovered_ts", F.to_timestamp(F.lit("2026-01-16")))
+    )
+    robots_df = spark.createDataFrame(robots, schema=ROBOTS)
+    marker = 7777  # unique literal so the assertion can't false-match
+    plan = _fmt_plan(
+        P.pop_round(frontier, robots_df, round_ms=10_000, exact_rank_max=marker)
+    )
+    tree = plan.split("\n\n")[0]  # the indented operator tree
+    lines = tree.splitlines()
+    windows = [
+        (i, len(l) - len(l.lstrip(" :+-")))
+        for i, l in enumerate(lines)
+        if re.search(r"\bWindow\b", l)
+    ]
+    assert windows, "pop plan lost its ranking windows"
+    for i, indent in windows:
+        # subtree = following lines with strictly deeper indentation
+        block = []
+        for l in lines[i + 1 :]:
+            d = len(l) - len(l.lstrip(" :+-"))
+            if d <= indent:
+                break
+            block.append(l)
+        ids = re.findall(r"\((\d+)\)", "\n".join(block))
+        detail = "\n".join(
+            seg for seg in plan.split("\n\n") if re.match(r"\(\d+\)", seg)
+            and seg[1 : seg.index(")")] in ids
+        )
+        assert str(marker) in detail, (
+            "regime predicate not below this Window's subtree:\n"
+            + lines[i]
+        )
+
+
+def test_minhash_candidates_single_signature_pipeline(spark):
+    """r6 shape guard: q30's banded self-join must read the signature
+    table from a checkpoint (Scan ExistingRDD), never re-derive it from
+    the shingle explode on both sides — the shingle expression must not
+    appear in the final query plan at all."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.queries()["q30_minhash_lsh"](spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan
+    assert "array_distinct(transform(sequence(" not in plan.replace(" ", "")
+
+
+def test_simhash_pairs_filters_before_pair_dedup(spark):
+    """r6 shape guard: the hamming filter and narrow projection must
+    run BEFORE the (a_id, b_id) dedup, so the dedup never shuffles raw
+    signatures.  Structural check on the optimized logical plan: no
+    Deduplicate/Aggregate node may output a_sig/b_sig columns."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q43_simhash_pairs"](spark, "/root/testdata/sf0.01")
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in logical.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith(("Deduplicate", "Aggregate")):
+            assert "a_sig" not in s and "b_sig" not in s, s
